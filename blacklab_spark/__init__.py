@@ -15,6 +15,24 @@ iterators (BLSpans etc.) are replaced by DataFrame plans + pandas stages.
 from blacklab_spark.scoring import K1, B, idf, bm25
 from blacklab_spark.tokenizer import tokenize, TOKEN_RE
 
-__all__ = ["K1", "B", "idf", "bm25", "tokenize", "TOKEN_RE"]
+
+def __getattr__(name):
+    # lazy imports so pure-Python modules (codecs/oracle) never pull pyspark
+    if name == "build_index" or name == "IndexPaths":
+        from blacklab_spark import build
+        return getattr(build, name)
+    if name == "Corpus":
+        from blacklab_spark.corpus import Corpus
+        return Corpus
+    if name == "get_spark":
+        from blacklab_spark.session import get_spark
+        return get_spark
+    raise AttributeError(name)
+
+
+__all__ = [
+    "K1", "B", "idf", "bm25", "tokenize", "TOKEN_RE",
+    "build_index", "IndexPaths", "Corpus", "get_spark",
+]
 
 __version__ = "0.1.0"

@@ -1,0 +1,315 @@
+"""Corpus — the query-side API over a built index.
+
+Replaces BlackLab's BlackLabIndex.search()/find() surface
+(/root/reference/engine/src/main/java/nl/inl/blacklab/search/BlackLabIndex.java:168-240)
+with DataFrame plans:
+
+  * term lookup       → term_dict parquet scan with pushed-down predicate
+                        (≈ Lucene TermsEnum seek)
+  * postings decode   → mapInPandas vectorized varint decode + BM25 in numpy
+                        (≈ PostingsEnum walk, but Arrow-batched)
+  * rarest-first      → query terms processed in df-ascending order — the
+                        WAND ordering; the reference's cost-model analog is
+                        ClauseCombinerNfa.getFactor (/root/reference/engine/src/
+                        main/java/nl/inl/blacklab/search/lucene/optimize/
+                        ClauseCombinerNfa.java:144-201)
+  * block-max pruning → single-term top-k skips blocks whose exact
+                        block_max_score cannot beat the running k-th score
+                        (block-max WAND over a bounded heap, partition-local)
+  * top-k             → orderBy(score desc, doc_id asc).limit(k) — Spark
+                        compiles this to TakeOrderedAndProject (bounded
+                        per-partition heaps + driver merge, no global sort)
+
+Float64 parity contract (SURVEY.md §7.3/§7.4): per-term contributions are
+computed with the SAME numpy code as the oracle; multi-term sums fold in
+ascending term_id order (== ascending term order, since term_id is the dense
+rank of the term string), bitwise-identical to the oracle's accumulation.
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from blacklab_spark import codecs, scoring
+from blacklab_spark.build import IndexPaths
+from blacklab_spark.plans.parser import OrQuery, PhraseQuery, parse_query
+
+_DECODED_SCHEMA = "term_id long, doc_id long, contrib double"
+_DECODED_POS_SCHEMA = (
+    "term_id long, doc_id long, tf int, dl int, positions array<long>"
+)
+
+
+class Corpus:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.paths = IndexPaths(path)
+        with open(self.paths.meta) as f:
+            self.meta = json.load(f)
+        self.n_docs: int = self.meta["n_docs"]
+        self.avgdl: float = self.meta["avgdl"]
+
+    # ------------------------------------------------------------ tables --
+    @property
+    def docs(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.docs)
+
+    @property
+    def term_dict(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.term_dict)
+
+    @property
+    def postings(self) -> DataFrame:
+        return self.spark.read.parquet(self.paths.postings)
+
+    def doc_lengths(self) -> DataFrame:
+        return self.docs.select("doc_id", "dl")
+
+    def doc_map(self) -> DataFrame:
+        cols = self.meta.get("doc_key", ["conv_id", "turn_idx"])
+        return self.docs.select(*cols, "doc_id")
+
+    # ------------------------------------------------------------- lookup --
+    def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
+        """Term dictionary seek — parquet pushdown prunes to few files."""
+        uniq = sorted(set(terms))
+        rows = (
+            self.term_dict.filter(F.col("term").isin(uniq))
+            .select("term", "term_id", "df", "cf")
+            .toPandas()
+        )
+        return rows.sort_values("term_id").reset_index(drop=True)
+
+    def expand_pattern(self, regex: str, max_terms: int = 1024) -> list[str]:
+        """Regex → concrete terms via the term dictionary (the reference's
+        TextPatternRegex/BLSpanMultiTermQueryWrapper rewrite, SURVEY.md §2.2)."""
+        rows = (
+            self.term_dict.filter(F.col("term").rlike(regex))
+            .select("term").limit(max_terms).collect()
+        )
+        return sorted(r["term"] for r in rows)
+
+    # ------------------------------------------------------------- decode --
+    def _decoded_scores(self, tinfo: pd.DataFrame, k_hint: int | None = None) -> DataFrame:
+        """postings(filtered to query terms) → (term_id, doc_id, contrib).
+
+        Single-term queries with k_hint get partition-local block-max WAND:
+        blocks are visited in descending block_max_score order and skipped
+        once the local top-k heap's floor exceeds the next block's bound.
+        """
+        term_ids = [int(t) for t in tinfo["term_id"]]
+        idf_map = {
+            int(r.term_id): scoring.idf(self.n_docs, int(r.df))
+            for r in tinfo.itertuples()
+        }
+        avgdl = self.avgdl
+        single_wand = k_hint is not None and len(term_ids) == 1
+        k = k_hint or 0
+
+        blocks = self.postings.filter(F.col("term_id").isin(term_ids)).select(
+            "term_id", "first_doc_id", "doc_gaps", "tfs", "dls", "block_max_score"
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            # partition-local bounded min-heap of (score, -doc_id); flushed
+            # ONCE at partition end (per-batch flushes would duplicate docs)
+            heap: list[tuple[float, int]] = []
+            for pdf in batches:
+                if single_wand:
+                    pdf = pdf.sort_values("block_max_score", ascending=False)
+                out = []
+                for row in pdf.itertuples():  # loop over BLOCKS, not postings
+                    if single_wand and len(heap) >= k and row.block_max_score < heap[0][0]:
+                        continue  # block-max prune: bound can't beat current k-th
+                    d, t, l = codecs.decode_block({
+                        "first_doc_id": row.first_doc_id,
+                        "doc_gaps": row.doc_gaps,
+                        "tfs": row.tfs,
+                        "dls": row.dls,
+                    })
+                    contrib = scoring.bm25(t, l, avgdl, idf_map[int(row.term_id)])
+                    if single_wand:
+                        for s, doc in zip(contrib, d):
+                            item = (float(s), -int(doc))
+                            if len(heap) < k:
+                                heapq.heappush(heap, item)
+                            elif item > heap[0]:
+                                heapq.heapreplace(heap, item)
+                    else:
+                        out.append(pd.DataFrame({
+                            "term_id": np.full(len(d), row.term_id, dtype="int64"),
+                            "doc_id": d,
+                            "contrib": contrib,
+                        }))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+            if single_wand and heap:
+                yield pd.DataFrame({
+                    "term_id": np.full(len(heap), term_ids[0], dtype="int64"),
+                    "doc_id": np.array([-x[1] for x in heap], dtype="int64"),
+                    "contrib": np.array([x[0] for x in heap], dtype="float64"),
+                })
+
+        return blocks.mapInPandas(decode, schema=_DECODED_SCHEMA)
+
+    def _decoded_positions(self, tinfo: pd.DataFrame) -> DataFrame:
+        """postings → (term_id, doc_id, tf, dl, positions) for phrase matching."""
+        term_ids = [int(t) for t in tinfo["term_id"]]
+        blocks = self.postings.filter(F.col("term_id").isin(term_ids)).select(
+            "term_id", "first_doc_id", "doc_gaps", "tfs", "dls", "positions"
+        )
+
+        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = []
+                for row in pdf.itertuples():
+                    d, t, l = codecs.decode_block({
+                        "first_doc_id": row.first_doc_id,
+                        "doc_gaps": row.doc_gaps,
+                        "tfs": row.tfs,
+                        "dls": row.dls,
+                    })
+                    flat = codecs.decode_positions(row.positions, t)
+                    bounds = np.concatenate(([0], np.cumsum(t)))
+                    plists = [
+                        flat[bounds[i]:bounds[i + 1]].tolist() for i in range(len(d))
+                    ]
+                    out.append(pd.DataFrame({
+                        "term_id": np.full(len(d), row.term_id, dtype="int64"),
+                        "doc_id": d,
+                        "tf": t.astype("int32"),
+                        "dl": l.astype("int32"),
+                        "positions": plists,
+                    }))
+                if out:
+                    yield pd.concat(out, ignore_index=True)
+
+        return blocks.mapInPandas(decode, schema=_DECODED_POS_SCHEMA)
+
+    # -------------------------------------------------------------- query --
+    def score_or(self, terms: list[str], k: int | None = None) -> DataFrame:
+        """Multi-term OR (BooleanQuery SHOULD): per-doc sum of BM25 in
+        ascending-term order. Returns all matching docs: (doc_id, score)."""
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        decoded = self._decoded_scores(tinfo, k_hint=k if len(tinfo) == 1 else None)
+        if len(tinfo) == 1:
+            return decoded.select("doc_id", F.col("contrib").alias("score"))
+        # deterministic fold: sort contribution structs by term_id (== term
+        # string order) and left-fold — fixed float64 summation order
+        return (
+            decoded.groupBy("doc_id")
+            .agg(F.array_sort(F.collect_list(F.struct("term_id", "contrib"))).alias("cs"))
+            .select(
+                "doc_id",
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+                ).alias("score"),
+            )
+        )
+
+    def search_or(self, terms: list[str], k: int = 10) -> DataFrame:
+        return (
+            self.score_or(terms, k=k)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def score_phrase(self, terms: list[str]) -> DataFrame:
+        """Exact adjacent phrase (SpansSequence analog, /root/reference/engine/
+        src/main/java/nl/inl/blacklab/search/lucene/SpanQuerySequence.java):
+        per-doc intersection of shifted position lists, Lucene PhraseQuery
+        scoring (idf = sum of member idfs, tf = phrase freq)."""
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not terms:
+            return empty
+        tinfo = self.lookup_terms(terms)
+        present = set(tinfo["term"])
+        if any(t not in present for t in terms):
+            return empty
+        info_by_term = {r.term: r for r in tinfo.itertuples()}
+        idf_sum = np.float64(0.0)
+        for t in terms:  # phrase idf: duplicates kept, phrase order
+            idf_sum += np.float64(scoring.idf(self.n_docs, int(info_by_term[t].df)))
+        idf_sum = float(idf_sum)
+        avgdl = self.avgdl
+        m = len(terms)
+
+        decoded = self._decoded_positions(tinfo)
+        # map term_id -> its (possibly multiple) slot indexes in the phrase
+        slots = []
+        for i, t in enumerate(terms):
+            slots.append((int(info_by_term[t].term_id), i))
+        slot_df = self.spark.createDataFrame(slots, "term_id long, slot int")
+        per_slot = decoded.join(F.broadcast(slot_df), "term_id")
+
+        @F.pandas_udf(T.IntegerType())
+        def phrase_tf(slots_col: pd.Series, plists: pd.Series) -> pd.Series:
+            out = np.zeros(len(slots_col), dtype="int32")
+            for i in range(len(slots_col)):
+                sl = slots_col.iloc[i]
+                pl = plists.iloc[i]
+                cand = None
+                for s, p in zip(sl, pl):
+                    shifted = {int(x) - int(s) for x in p}
+                    cand = shifted if cand is None else (cand & shifted)
+                    if not cand:
+                        break
+                out[i] = len(cand) if cand else 0
+            return pd.Series(out)
+
+        @F.pandas_udf(T.DoubleType())
+        def phrase_score(tf: pd.Series, dl: pd.Series) -> pd.Series:
+            return pd.Series(
+                scoring.bm25(tf.to_numpy(), dl.to_numpy(), avgdl, idf_sum)
+            )
+
+        grouped = (
+            per_slot.groupBy("doc_id", "dl")
+            .agg(
+                F.countDistinct("slot").alias("nslots"),
+                F.array_sort(F.collect_list(F.struct("slot", "positions"))).alias("sp"),
+            )
+            .filter(F.col("nslots") == F.lit(m))
+            .withColumn(
+                "ptf",
+                phrase_tf(
+                    F.col("sp").getField("slot"), F.col("sp").getField("positions")
+                ),
+            )
+            .filter(F.col("ptf") > 0)
+            .select("doc_id", phrase_score(F.col("ptf"), F.col("dl")).alias("score"))
+        )
+        return grouped
+
+    def search_phrase(self, terms: list[str], k: int = 10) -> DataFrame:
+        return (
+            self.score_phrase(terms)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
+    def search(self, query: str, k: int = 10) -> DataFrame:
+        """Parse a query string (mini-BCQL: terms / quoted phrase / /regex/)
+        and run top-k BM25."""
+        q = parse_query(query)
+        if isinstance(q, PhraseQuery):
+            return self.search_phrase(q.terms, k=k)
+        assert isinstance(q, OrQuery)
+        terms: list[str] = []
+        for t in q.terms:
+            if t.regex:
+                terms.extend(self.expand_pattern(t.pattern))
+            else:
+                terms.append(t.pattern)
+        return self.search_or(terms, k=k)
