@@ -1,38 +1,538 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship: build the inverted index over sf0.001 documents,
+                run a top-10 BM25 query.
+queries()     — one entry per implemented operator (SURVEY.md §2 + the
+                training-data-pipeline ops); each (spark, sf_dir) -> DataFrame.
+oracle_sql()  — matching DuckDB SQL on the same parquet views.
+
+Engine docIDs: documents rows are fed to the engine as transcripts with
+conv_id = zero-padded doc_id, turn_idx = 0; results are mapped back to the
+ORIGINAL doc_id via the corpus doc_map, so oracle SQL can use documents.doc_id
+directly.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from blacklab_spark.build import build_index
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.operators import dedup, grouping, similarity, textstats
+from blacklab_spark.streaming.windows import windowed_event_counts
+from blacklab_spark.tokenizer import TOKEN_PATTERN_SQL
+
+CACHE_ROOT = os.environ.get("BLACKLAB_CACHE", "/tmp/blacklab_entry_cache")
+
+# query constants shared between the Spark side and the SQL oracles
+TERM = "join"
+OR_TERMS = ["join", "window", "scan"]
+PHRASE = ["table", "hash"]
+K = 10
+
+_SQL_TOK = TOKEN_PATTERN_SQL  # [a-z0-9]+(?:''[a-z0-9]+)?
+
+
+# --------------------------------------------------------------- helpers ----
+
+def _load_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+
+
+def _docs_as_transcripts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents(doc_id, text, ...) → the engine's transcript input shape."""
+    d = _load_documents(spark, sf_dir)
+    return d.select(
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.col("text"),
+        F.lit("").alias("tool"),
+        F.current_timestamp().alias("ts"),
+    )
+
+
+def _corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """Build (or reuse via checkpoints) the index for this sf_dir."""
+    name = os.path.basename(os.path.normpath(sf_dir)) or "sf"
+    path = os.path.join(CACHE_ROOT, name)
+    build_index(
+        spark,
+        _docs_as_transcripts(spark, sf_dir),
+        path,
+        salt_df_threshold=1000,
+        docs_per_salt=4096,
+        resume=True,
+    )
+    return Corpus(spark, path)
+
+
+def _orig_ids(c: Corpus, scored: DataFrame) -> DataFrame:
+    """engine doc_id → original documents.doc_id via conv_id."""
+    dm = c.doc_map().select(
+        "doc_id", F.col("conv_id").cast("long").alias("orig_id")
+    )
+    return (
+        scored.join(dm, "doc_id")
+        .select(F.col("orig_id").alias("doc_id"), "score")
+    )
+
+
+def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents with a tokens column (for operators that don't need the
+    full index) — same tokenizer as the engine, applied JVM-side."""
+    d = _load_documents(spark, sf_dir)
+    return d.withColumn(
+        "tokens",
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN_SQL.replace("''", "'")), 0),
+    )
+
+
+# ------------------------------------------------------- SQL oracle text ----
+
+_BASE_CTES = f"""
+tok AS (
+  SELECT doc_id, unnest(regexp_extract_all(lower(text), '{_SQL_TOK}')) AS term
+  FROM documents
+),
+stats AS (
+  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE
+           / (SELECT count(*) FROM documents)::DOUBLE AS avgdl
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id)
+"""
+
+_POS_CTES = f"""
+t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok, toks
+  FROM t
+)
+"""
+
+
+def _bm25_or_sql(terms: list[str], k: int | None) -> str:
+    tlist = ", ".join(f"''{t}''" for t in [])  # placeholder to keep linters calm
+    tlist = ", ".join("'" + t + "'" for t in sorted(set(terms)))
+    limit = f"ORDER BY score DESC, doc_id ASC LIMIT {k}" if k else ""
+    return f"""
+WITH {_BASE_CTES},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+),
+scored AS (SELECT doc_id, sum(c) AS score FROM contrib GROUP BY doc_id)
+SELECT doc_id, round(score, 4) AS score FROM scored {limit}
+"""
+
+
+def _bm25_phrase_sql(phrase: list[str], k: int) -> str:
+    tlist = ", ".join("'" + t + "'" for t in sorted(set(phrase)))
+    conds = " AND ".join(
+        [f"tok = '{phrase[0]}'"]
+        + [
+            f"i + {j} <= len(toks) AND toks[i + {j}] = '{phrase[j]}'"
+            for j in range(1, len(phrase))
+        ]
+    )
+    return f"""
+WITH {_BASE_CTES},
+{_POS_CTES.strip().lstrip()},
+ptf AS (
+  SELECT doc_id, count(*)::DOUBLE AS tf FROM pos
+  WHERE {conds}
+  GROUP BY doc_id
+),
+dfs AS (
+  SELECT term, count(DISTINCT doc_id)::DOUBLE AS df
+  FROM tok WHERE term IN ({tlist}) GROUP BY term
+),
+idfsum AS (
+  SELECT sum(ln(1 + (s.n - df + 0.5) / (df + 0.5))) AS w
+  FROM dfs CROSS JOIN stats s
+)
+SELECT p.doc_id,
+       round(i.w * p.tf / (p.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)), 4) AS score
+FROM ptf p JOIN dl USING (doc_id) CROSS JOIN idfsum i CROSS JOIN stats s
+ORDER BY score DESC, doc_id ASC LIMIT {k}
+"""
+
+
+# -------------------------------------------------------------- entry -------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: index sf0.001 documents, top-10 BM25 for the OR query."""
+    c = _corpus(spark, "/root/testdata/sf0.001")
+    top = c.search_or(OR_TERMS, k=K)
+    return _orig_ids(c, top).select("doc_id", F.round("score", 4).alias("score"))
 
+
+# -------------------------------------------------------------- queries -----
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    def bm25_term_scores(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = _orig_ids(c, c.score_or([TERM]))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    def bm25_topk_term(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = _orig_ids(c, c.search_or([TERM], k=K))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
 
+    def bm25_topk_or(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = _orig_ids(c, c.search_or(OR_TERMS, k=K))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_or_scores(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = _orig_ids(c, c.score_or(OR_TERMS))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_phrase(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = _orig_ids(c, c.search_phrase(PHRASE, k=K))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    def term_dict(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return c.term_dict.select("term", "df", "cf")
+
+    def doc_lengths(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        dm = c.doc_map().select("doc_id", F.col("conv_id").cast("long").alias("orig"))
+        return (
+            c.doc_lengths().join(dm, "doc_id")
+            .select(F.col("orig").alias("doc_id"), F.col("dl").cast("long").alias("dl"))
+        )
+
+    def term_freq(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir)
+        return grouping.term_frequencies(docs)
+
+    def facets_lang(spark, sf_dir):
+        return grouping.facets(_load_documents(spark, sf_dir), "lang")
+
+    def hits_by_lang(spark, sf_dir):
+        # _tokenized_docs keeps all documents columns, lang included
+        return grouping.group_hits_by_meta(_tokenized_docs(spark, sf_dir), TERM, "lang")
+
+    def collocations(spark, sf_dir):
+        return grouping.collocations(_tokenized_docs(spark, sf_dir), TERM, window=2)
+
+    def kwic(spark, sf_dir):
+        return grouping.kwic(_tokenized_docs(spark, sf_dir), TERM, context=2)
+
+    def sample_docs(spark, sf_dir):
+        d = _load_documents(spark, sf_dir)
+        return grouping.sample_deterministic(d, "doc_id", 1, 10).select("doc_id")
+
+    def hits_page(spark, sf_dir):
+        h = grouping.hits(_tokenized_docs(spark, sf_dir), TERM)
+        return grouping.hits_window(h, [F.asc("doc_id"), F.asc("pos")], 10, 10)
+
+    def dedup_exact(spark, sf_dir):
+        return dedup.dedup_exact(_load_documents(spark, sf_dir), "text", "doc_id")
+
+    def ngram_jaccard(spark, sf_dir):
+        sh = dedup.shingles(_tokenized_docs(spark, sf_dir), "tokens", "doc_id", n=3)
+        pairs = dedup.exact_jaccard_pairs(sh, min_jaccard=0.5)
+        return pairs.select(
+            "id_a", "id_b", F.col("inter").alias("inter"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+
+    def minhash_lsh_pairs(spark, sf_dir):
+        sh = dedup.shingles(_tokenized_docs(spark, sf_dir), "tokens", "doc_id", n=3)
+        sig = dedup.minhash_signatures(sh, num_hashes=16)
+        return dedup.lsh_candidate_pairs(sig, num_hashes=16, bands=4)
+
+    def simhash_values(spark, sf_dir):
+        return dedup.simhash(_tokenized_docs(spark, sf_dir), "tokens", "doc_id")
+
+    def embedding_topk(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        out = similarity.cosine_topk(emb, [float(x) for x in qv], k=K)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    def token_count(spark, sf_dir):
+        return textstats.token_counts(_load_documents(spark, sf_dir), "text", "doc_id")
+
+    def quality(spark, sf_dir):
+        q = textstats.quality_score(_load_documents(spark, sf_dir), "text", "doc_id")
+        return q.select(
+            "id",
+            F.round("stopword_ratio", 6).alias("stopword_ratio"),
+            F.round("mean_token_len", 6).alias("mean_token_len"),
+            F.round("alnum_ratio", 6).alias("alnum_ratio"),
+            "quality",
+        )
+
+    def lang_id(spark, sf_dir):
+        return textstats.lang_id(_load_documents(spark, sf_dir), "text", "doc_id")
+
+    def fingerprint(spark, sf_dir):
+        return textstats.fingerprint(_load_documents(spark, sf_dir), "text", "doc_id")
+
+    def events_hourly(spark, sf_dir):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        out = windowed_event_counts(ev, minutes=60)
+        return out.select(
+            F.unix_timestamp("win_start").alias("win_start_epoch"),
+            "event_type", "n", F.round("total_value", 3).alias("total_value"),
+        )
+
+    # non-SQL-expressible (rows-only check): approximate ANN via sign-LSH
+    def ann_lsh_topk(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        out = similarity.signlsh_topk(emb, [float(x) for x in qv], k=K, num_planes=8)
+        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+    return {
+        "bm25_term_scores": bm25_term_scores,
+        "bm25_topk_term": bm25_topk_term,
+        "bm25_topk_or": bm25_topk_or,
+        "bm25_or_scores": bm25_or_scores,
+        "bm25_phrase": bm25_phrase,
+        "term_dict": term_dict,
+        "doc_lengths": doc_lengths,
+        "term_freq": term_freq,
+        "facets_lang": facets_lang,
+        "hits_by_lang": hits_by_lang,
+        "collocations": collocations,
+        "kwic": kwic,
+        "sample_docs": sample_docs,
+        "hits_page": hits_page,
+        "dedup_exact": dedup_exact,
+        "ngram_jaccard": ngram_jaccard,
+        "minhash_lsh_pairs": minhash_lsh_pairs,
+        "simhash_values": simhash_values,
+        "embedding_topk": embedding_topk,
+        "token_count": token_count,
+        "quality": quality,
+        "lang_id": lang_id,
+        "fingerprint": fingerprint,
+        "events_hourly": events_hourly,
+        "ann_lsh_topk": ann_lsh_topk,
+    }
+
+
+# ---------------------------------------------------------------- oracle ----
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    minhash_exprs = ", ".join(
+        f"min((x * {2 * i + 1} + {i * i + 7}) % {dedup.MINHASH_PRIME}) AS h{i}"
+        for i in range(16)
+    )
+    band_union = "\nUNION ALL\n".join(
+        "SELECT id, {b} AS band, concat_ws(',', {hs}) AS bs FROM sig".format(
+            b=b, hs=", ".join(f"h{4 * b + j}" for j in range(4))
+        )
+        for b in range(4)
+    )
+    lang_scores = ", ".join(
+        "len(list_filter(toks, x -> list_contains([{m}], x))) AS s_{l}".format(
+            m=", ".join("'" + w + "'" for w in ws), l=l
+        )
+        for l, ws in sorted(textstats.LANG_MARKERS.items())
+    )
+    lang_union = "\nUNION ALL\n".join(
+        f"SELECT doc_id AS id, '{l}' AS lang, s_{l} AS s FROM q"
+        for l in sorted(textstats.LANG_MARKERS)
+    )
+    stop_list = ", ".join("'" + w + "'" for w in textstats.STOPWORDS)
+
+    return {
+        "bm25_term_scores": _bm25_or_sql([TERM], None),
+        "bm25_topk_term": _bm25_or_sql([TERM], K),
+        "bm25_topk_or": _bm25_or_sql(OR_TERMS, K),
+        "bm25_or_scores": _bm25_or_sql(OR_TERMS, None),
+        "bm25_phrase": _bm25_phrase_sql(PHRASE, K),
+        "term_dict": f"""
+WITH {_BASE_CTES}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term
+""",
+        "doc_lengths": f"""
+WITH {_BASE_CTES}
+SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)
+""",
+        "term_freq": f"""
+WITH {_BASE_CTES}
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term
+""",
+        "facets_lang": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
+        "hits_by_lang": f"""
+WITH {_BASE_CTES},
+h AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{TERM}' GROUP BY doc_id)
+SELECT d.lang, sum(h.tf) AS n_hits, count(*) AS n_docs
+FROM h JOIN documents d USING (doc_id) GROUP BY d.lang
+""",
+        "collocations": f"""
+WITH {_POS_CTES},
+h AS (SELECT doc_id, i FROM pos WHERE tok = '{TERM}')
+SELECT p.tok AS term, count(*) AS n
+FROM pos p JOIN h ON p.doc_id = h.doc_id
+WHERE abs(p.i - h.i) <= 2 AND p.i != h.i
+GROUP BY p.tok
+""",
+        "kwic": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS pos,
+       coalesce(array_to_string(toks[greatest(1, i - 2):i - 1], ' '), '') AS left,
+       tok AS match,
+       coalesce(array_to_string(toks[i + 1:least(len(toks), i + 2)], ' '), '') AS right
+FROM pos WHERE tok = '{TERM}'
+""",
+        "sample_docs": """
+SELECT doc_id FROM documents
+WHERE ((doc_id * 2654435761) % 4294967296) * 10 < 4294967296
+""",
+        "hits_page": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS pos FROM pos WHERE tok = '{TERM}'
+ORDER BY doc_id, pos LIMIT 10 OFFSET 10
+""",
+        "dedup_exact": """
+SELECT min(doc_id) AS kept_id, count(*) AS group_size
+FROM documents GROUP BY md5(text)
+""",
+        "ngram_jaccard": f"""
+WITH {_POS_CTES},
+u AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i, toks FROM t),
+sh AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i + 2], ' ') AS shingle FROM u),
+sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+inter AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, inter,
+       round(inter::DOUBLE / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.id = id_a JOIN sizes sb ON sb.id = id_b
+WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+""",
+        "minhash_lsh_pairs": f"""
+WITH {_POS_CTES},
+u AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i, toks FROM t),
+sh AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i + 2], ' ') AS shingle FROM u),
+hashed AS (
+  SELECT id, ('0x' || substr(md5(shingle), 1, 8))::BIGINT AS x FROM sh
+),
+sig AS (SELECT id, {minhash_exprs} FROM hashed GROUP BY id),
+banded AS ({band_union})
+SELECT DISTINCT a.id AS id_a, b.id AS id_b
+FROM banded a JOIN banded b ON a.band = b.band AND a.bs = b.bs AND a.id < b.id
+""",
+        "simhash_values": f"""
+WITH {_BASE_CTES},
+tf AS (SELECT doc_id AS id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+hx AS (SELECT id, tf, ('0x' || substr(md5(term), 1, 8))::BIGINT AS x FROM tf),
+bits AS (
+  SELECT id, j, sum(CASE WHEN (x >> j) & 1 = 1 THEN tf ELSE -tf END) AS v
+  FROM hx, range(0, 32) r(j) GROUP BY id, j
+)
+SELECT id, sum(CASE WHEN v > 0 THEN (1::BIGINT << j) ELSE 0 END)::BIGINT AS simhash
+FROM bits GROUP BY id
+""",
+        "embedding_topk": """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       round(
+         list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))), 6
+       ) AS cosine
+FROM embeddings e CROSS JOIN q
+ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
+         / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))) DESC,
+         vec_id ASC
+LIMIT 10
+""",
+        "token_count": f"""
+SELECT doc_id AS id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_SQL_TOK}')) AS n_re_tokens,
+       length(text) AS n_chars
+FROM documents
+""",
+        "quality": f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id AS id,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains([{stop_list}], x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_token_len,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+         ELSE 0.0 END AS alnum_ratio
+  FROM t
+)
+SELECT id, round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(alnum_ratio, 6) AS alnum_ratio,
+       round(0.4 * alnum_ratio + 0.3 * least(stopword_ratio * 4, 1.0)
+             + 0.3 * least(mean_token_len / 8, 1.0), 6) AS quality
+FROM m
+""",
+        "lang_id": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks FROM documents
+),
+q AS (SELECT doc_id, {lang_scores} FROM t),
+scores AS ({lang_union}),
+best AS (
+  SELECT id, lang, s,
+         row_number() OVER (PARTITION BY id ORDER BY s DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT id, lang AS lang_pred, s AS lang_score FROM best WHERE rn = 1
+""",
+        "fingerprint": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id AS id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM t
+),
+f AS (
+  SELECT id,
+         (sum((('0x' || substr(md5(tok), 1, 8))::BIGINT * ((pos % 64) + 1))
+              % 2305843009213693951) % 2305843009213693951)::BIGINT AS fp
+  FROM pairs GROUP BY id
+)
+SELECT d.doc_id AS id, coalesce(f.fp, 0)::BIGINT AS fp
+FROM documents d LEFT JOIN f ON f.id = d.doc_id
+""",
+        "events_hourly": """
+SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start_epoch,
+       event_type, count(*) AS n, round(sum(value), 3) AS total_value
+FROM events GROUP BY 1, 2
+""",
+        # ann_lsh_topk intentionally omitted: approximate, non-SQL-expressible
+    }

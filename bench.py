@@ -1,0 +1,95 @@
+"""Benchmark: index-build throughput (turns/sec) + top-k BM25 query latency.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ..., "build": {...}, "cpus": N}
+
+Corpus: the deterministic synthetic transcript table (FIXTURES.md §1) scaled
+by sf — the engine's native input shape — plus the sf documents table for a
+cross-check query. Env:
+  SPARK_GRAFT_SF_DIR  (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    (default 32)
+  BENCH_TURNS         (override transcript count)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(os.path.basename(os.path.normpath(sf_dir)).replace("sf", "") or 0.1)
+    n_turns = int(os.environ.get("BENCH_TURNS", max(int(1_200_000 * sf), 20_000)))
+
+    from blacklab_spark.session import get_spark
+    from blacklab_spark.build import build_index
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.datagen import make_transcripts
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+
+    # ---- corpus generation (not timed: input production, not the engine) ----
+    pdf = make_transcripts(n_turns, seed=42)
+    transcripts = spark.createDataFrame(pdf).repartition(max(cpus, 8)).persist()
+    transcripts.count()
+
+    idx_dir = tempfile.mkdtemp(prefix="blacklab_bench_")
+    queries: dict[str, float] = {}
+    try:
+        # ---- index build ----
+        t0 = time.time()
+        build_index(
+            spark, transcripts, idx_dir,
+            salt_df_threshold=10_000, docs_per_salt=1 << 16,
+        )
+        build_sec = time.time() - t0
+        c = Corpus(spark, idx_dir)
+
+        # ---- query set (FIXTURES.md §4 shapes) ----
+        def timed(name, fn):
+            t = time.time()
+            fn()
+            queries[name] = round(time.time() - t, 4)
+
+        timed("q_term_low", lambda: c.search_or(["w4999"], k=10).collect())
+        timed("q_term_high", lambda: c.search_or(["the"], k=10).collect())
+        timed("q_or3", lambda: c.search_or(["w0100", "w0200", "w0300"], k=10).collect())
+        timed("q_or_stop", lambda: c.search_or(["the", "of", "and"], k=10).collect())
+        timed("q_phrase", lambda: c.search_phrase(["the", "of"], k=10).collect())
+        timed("q_term_k1000", lambda: c.search_or(["w0050"], k=1000).collect())
+        timed(
+            "q_group_meta",
+            lambda: c.docs.groupBy("role").count().collect(),
+        )
+
+        total = round(build_sec + sum(queries.values()), 4)
+        out = {
+            "metric": "index_build_plus_bm25_topk",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": sf,
+            "cpus": cpus,
+            "build": {
+                "turns": n_turns,
+                "build_sec": round(build_sec, 4),
+                "turns_per_sec": round(n_turns / build_sec, 2),
+            },
+        }
+        print(json.dumps(out))
+    finally:
+        shutil.rmtree(idx_dir, ignore_errors=True)
+        transcripts.unpersist()
+
+
+if __name__ == "__main__":
+    main()

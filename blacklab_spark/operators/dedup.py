@@ -1,0 +1,194 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Exact, MinHash+LSH, SimHash, and n-gram Jaccard dedup — each a DataFrame
+plan designed so the only shuffles are keyed on (hash/signature/shingle):
+
+  dedup_exact        hash-groupBy; at 100 TB this is one shuffle on a
+                     fixed-width digest, with AQE skew handling for
+                     pathological duplicate clusters
+  shingle/minhash    shingles -> 32-bit md5-prefix ints -> k permutation
+                     hashes (a_i*x+b_i mod p) -> min per doc; LSH bands ->
+                     candidate pairs via a band-keyed self-join; verify with
+                     exact Jaccard on the candidates only
+  simhash            sign-aggregated 32-bit fingerprints; near-dup pairs by
+                     hamming distance over banded buckets
+  ngram_jaccard      exact pairwise Jaccard via a shingle-keyed inverted
+                     join (only pairs sharing >=1 shingle are generated)
+
+All hash arithmetic is md5-prefix based (deterministic, engine-independent —
+reproducible in any SQL engine for oracle checks; no Spark-internal hash()).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# fixed permutation-hash family over 32-bit shingle ids
+MINHASH_PRIME = 4294967311  # smallest prime > 2^32
+
+
+def _md5_int32(col):
+    """First 8 hex chars of md5 -> uint32 as long. Same formula is expressible
+    in DuckDB as ('0x' || substr(md5(x),1,8))::BIGINT — the oracle contract."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
+def dedup_exact(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest id per exact text group: (kept_id, group_size)."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("h"))
+        .agg(F.min(id_col).alias("kept_id"), F.count("*").alias("group_size"))
+        .select("kept_id", "group_size")
+    )
+
+
+def shingles(df: DataFrame, tokens_col: str, id_col: str, n: int = 3) -> DataFrame:
+    """(id, shingle): distinct word n-grams per doc, built with built-in
+    array ops (transform over index range) — no Python."""
+    k = F.size(F.col(tokens_col)) - (n - 1)
+    # sequence(1, 0) would DESCEND in Spark; guard short docs with an empty array
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice(F.col(tokens_col), i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("shingle"))
+        .distinct()
+    )
+
+
+def minhash_signatures(
+    sh: DataFrame, num_hashes: int = 16
+) -> DataFrame:
+    """(id, sig array<long>): MinHash over md5-int32 shingle ids with the
+    fixed family h_i(x) = ((2i+1)*x + i*i + 7) mod P. Coefficients are tiny
+    so products stay < 2^38 (safe in any engine's int64)."""
+    hashed = sh.select("id", _md5_int32(F.col("shingle")).alias("x"))
+    aggs = [
+        F.min(
+            (F.col("x") * F.lit(2 * i + 1) + F.lit(i * i + 7)) % F.lit(MINHASH_PRIME)
+        ).alias(f"h{i}")
+        for i in range(num_hashes)
+    ]
+    sig = hashed.groupBy("id").agg(*aggs)
+    return sig.select(
+        "id", F.array(*[F.col(f"h{i}") for i in range(num_hashes)]).alias("sig")
+    )
+
+
+def lsh_candidate_pairs(
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+) -> DataFrame:
+    """Band the signatures and self-join on (band, band_sig) → candidate
+    (id_a < id_b) pairs. The band-keyed join is the only shuffle."""
+    rows_per_band = num_hashes // bands
+    banded = sig.select(
+        "id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.slice("sig", b * rows_per_band + 1, rows_per_band),
+            )
+        ).alias("band", "band_sig"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_sig") == F.col("b.band_sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def exact_jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+    """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
+
+    inverted join on shingle → pair intersection counts; sizes joined in;
+    union = |A| + |B| - inter. Only co-shingled pairs are ever materialized.
+    """
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")),
+        )
+        .filter(F.col("jaccard") >= min_jaccard)
+        .select("id_a", "id_b", "inter", "jaccard")
+    )
+
+
+def simhash(df: DataFrame, tokens_col: str, id_col: str, bits: int = 32) -> DataFrame:
+    """(id, simhash): sign-aggregated fingerprint from md5-int32 token hashes,
+    weighted by term frequency. Pure explode + bit-arithmetic + groupBy."""
+    tf = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens_col).alias("term"))
+        .groupBy("id", "term")
+        .agg(F.count("*").alias("tf"))
+        .withColumn("x", _md5_int32(F.col("term")))
+    )
+    per_bit = tf.select(
+        "id",
+        "tf",
+        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
+        F.col("x"),
+    ).withColumn("isset", F.expr("shiftright(x, bit) & 1"))
+    votes = per_bit.groupBy("id", "bit").agg(
+        F.sum(F.when(F.col("isset") == 1, F.col("tf")).otherwise(-F.col("tf"))).alias("v")
+    )
+    return votes.groupBy("id").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
+        ).alias("simhash")
+    )
+
+
+def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 32) -> DataFrame:
+    """Near-dup pairs by hamming distance ≤ max_hamming, banded so at least
+    one band matches exactly (pigeonhole: hamming ≤ bands-1 guarantees a
+    matching band; larger distances are best-effort like standard simhash LSH)."""
+    width = bits // bands
+    mask = (1 << width) - 1
+    banded = sig.select(
+        "id",
+        "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
+    ).withColumn("band_val", F.expr(f"shiftright(simhash, band * {width}) & {mask}"))
+    a, b = banded.alias("a"), banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,138 @@
+"""Result-level operators: sort/group/aggregate/sample/window/KWIC/collocations.
+
+Spark-first re-expressions of the reference's results machinery (SURVEY.md §2.4):
+
+  term_frequencies     ≈ TermFrequencyList (/root/reference/engine/src/main/java/
+                         nl/inl/blacklab/search/TermFrequencyList.java:26)
+  facets               ≈ DocProperty grouping / Facets (/root/reference/engine/
+                         src/main/java/nl/inl/blacklab/search/results/stats/Facets.java)
+  group_hits_by_meta   ≈ HitGroups / HitGroupsTokenFrequencies fast path
+                         (/root/reference/engine/.../HitGroupsTokenFrequencies.java:50-56)
+                         — computed straight from the forward index (the tokens
+                         column), skipping hit materialization: explode+groupBy
+                         is whole-stage-codegen native
+  collocations         ≈ SearchCollocationsFromHits (/root/reference/engine/.../
+                         searches/SearchCollocationsFromHits.java:14-33)
+  kwic                 ≈ Kwics/Contexts (/root/reference/engine/.../hitresults/
+                         Kwics.java:27-31) — slice(tokens) on the docs table
+  sample_deterministic ≈ Hits.sample(SampleParameters) (/root/reference/engine/
+                         .../results/SampleParameters.java:13-49) — ours is a
+                         hash-mod sample so it is reproducible across engines,
+                         partitionings, and cluster sizes (seeded rand() is not)
+  hits_window          ≈ Hits.window pagination (/root/reference/engine/.../
+                         searches/SearchHitsWindow.java)
+
+All operate on the docs table (doc_id, tokens, dl, metadata...) — the
+columnar forward index — so they scale as pure map+shuffle-agg plans.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def explode_tokens(docs: DataFrame) -> DataFrame:
+    """(doc_id, pos, term) token stream — the AnnotationWriter analog."""
+    return docs.select("doc_id", F.posexplode("tokens").alias("pos", "term"))
+
+
+def term_frequencies(docs: DataFrame) -> DataFrame:
+    """(term, df, cf): document + collection frequency per term."""
+    return (
+        explode_tokens(docs)
+        .groupBy("term")
+        .agg(
+            F.countDistinct("doc_id").alias("df"),
+            F.count("*").alias("cf"),
+        )
+    )
+
+
+def facets(docs: DataFrame, meta_col: str) -> DataFrame:
+    """Doc counts per metadata value (DocPropertyStoredField analog)."""
+    return docs.groupBy(meta_col).agg(F.count("*").alias("n_docs"))
+
+
+def hits(docs: DataFrame, term: str) -> DataFrame:
+    """All occurrences of `term`: (doc_id, pos) — a BLSpanTermQuery over the
+    forward index (length-1 spans; start==pos, end==pos+1)."""
+    return explode_tokens(docs).filter(F.col("term") == term).select("doc_id", "pos")
+
+
+def group_hits_by_meta(docs: DataFrame, term: str, meta_col: str) -> DataFrame:
+    """Hit counts per metadata value (HitGroups on a DocProperty key)."""
+    h = (
+        explode_tokens(docs)
+        .filter(F.col("term") == term)
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("tf"))
+    )
+    return (
+        h.join(docs.select("doc_id", meta_col), "doc_id")
+        .groupBy(meta_col)
+        .agg(F.sum("tf").alias("n_hits"), F.count("*").alias("n_docs"))
+    )
+
+
+def collocations(docs: DataFrame, term: str, window: int = 2) -> DataFrame:
+    """Context-word frequencies within ±window tokens of each hit.
+
+    Plan: semi-join docs to those containing the term (postings-style
+    pre-filter), then a per-doc position band join of hits × tokens —
+    both sides come from one explode, co-partitioned on doc_id.
+    """
+    toks = explode_tokens(docs)
+    h = toks.filter(F.col("term") == term).select(
+        "doc_id", F.col("pos").alias("hit_pos")
+    )
+    ctx = (
+        toks.join(h, "doc_id")
+        .filter(
+            (F.abs(F.col("pos") - F.col("hit_pos")) <= window)
+            & (F.col("pos") != F.col("hit_pos"))
+        )
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+    )
+    return ctx
+
+
+def kwic(docs: DataFrame, term: str, context: int = 2) -> DataFrame:
+    """KeyWord-In-Context rows: (doc_id, pos, left, match, right).
+
+    Context words come from the tokens column (forward index), sliced with
+    built-in array functions — no Python in the hot path.
+    """
+    h = hits(docs, term)
+    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    # slice() is 1-based; clamp the left edge at the doc start
+    left_start = F.greatest(F.lit(1), F.col("pos") + 1 - context)
+    left_len = F.col("pos") + 1 - left_start
+    return joined.select(
+        "doc_id",
+        "pos",
+        F.concat_ws(" ", F.slice("tokens", left_start, left_len)).alias("left"),
+        F.element_at("tokens", F.col("pos") + 1).alias("match"),
+        F.concat_ws(
+            " ", F.slice("tokens", F.col("pos") + 2, F.lit(context))
+        ).alias("right"),
+    )
+
+
+def sample_deterministic(df: DataFrame, id_col: str, rate_num: int, rate_den: int) -> DataFrame:
+    """Reproducible sample: keep rows where (id * 2654435761) mod 2^32 falls
+    below rate. Knuth multiplicative hash — identical result at any
+    parallelism, any engine (unlike seeded rand())."""
+    h = F.pmod(F.col(id_col) * F.lit(2654435761), F.lit(4294967296))
+    return df.filter(h * rate_den < F.lit(4294967296) * rate_num)
+
+
+def hits_window(df: DataFrame, order_cols: list, first: int, number: int) -> DataFrame:
+    """Pagination window over a fully-specified sort (Hits.window analog)."""
+    w = Window.orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") > first) & (F.col("_rn") <= first + number))
+        .drop("_rn")
+    )

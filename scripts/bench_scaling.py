@@ -1,0 +1,87 @@
+"""Two-cluster-size scaling evidence (north_rule): run bench.py at N and 4N
+cores (local[8] vs local[32] — no real cluster in this sandbox), report
+throughput at both + scaling efficiency, write BENCH/BASELINE.md.
+
+Usage: python scripts/bench_scaling.py [n_small] [n_big] [turns]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run(cpus: int, turns: int) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    env["BENCH_TURNS"] = str(turns)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py")],
+        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+    )
+    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+    return json.loads(line)
+
+
+def main():
+    n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
+    n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 32
+    turns = int(sys.argv[3]) if len(sys.argv) > 3 else 120_000
+    factor = n_big / n_small
+
+    small = run(n_small, turns)
+    big = run(n_big, turns)
+
+    b_s = small["build"]["turns_per_sec"]
+    b_b = big["build"]["turns_per_sec"]
+    build_eff = (b_b / b_s) / factor
+    q_s = sum(small["queries"].values())
+    q_b = sum(big["queries"].values())
+    query_speedup = q_s / q_b if q_b else float("nan")
+    query_eff = query_speedup / factor
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    lines = [
+        "# BENCH/BASELINE.md — two-parallelism scaling evidence",
+        "",
+        f"Same job (index build of {turns} transcript turns + BM25 query set)",
+        f"run at local[{n_small}] and local[{n_big}] (N vs {factor:.0f}N cores; the sandbox",
+        "has no real cluster — per BASELINE.md this stands in for N vs 4N executors).",
+        "",
+        "| metric | local[{}] | local[{}] | speedup | efficiency |".format(n_small, n_big),
+        "|---|---|---|---|---|",
+        f"| build throughput (turns/sec) | {b_s:,.0f} | {b_b:,.0f} | {b_b / b_s:.2f}x | **{build_eff:.2f}** |",
+        f"| query set wall (sec, {len(small['queries'])} queries) | {q_s:.2f} | {q_b:.2f} | {query_speedup:.2f}x | **{query_eff:.2f}** |",
+        "",
+        "Per-query seconds:",
+        "",
+        "| query | local[{}] | local[{}] |".format(n_small, n_big),
+        "|---|---|---|",
+    ]
+    for k in small["queries"]:
+        lines.append(f"| {k} | {small['queries'][k]:.3f} | {big['queries'][k]:.3f} |")
+    lines += [
+        "",
+        "Raw JSON:",
+        "```json",
+        json.dumps(small),
+        json.dumps(big),
+        "```",
+        "",
+        "Efficiency = (throughput_big / throughput_small) / (cores_big / cores_small).",
+        "Target (BASELINE.json): >= 0.8 on the build path.",
+    ]
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print(json.dumps({
+        "build_eff": round(build_eff, 3), "query_eff": round(query_eff, 3),
+        "build_tps": [b_s, b_b], "query_wall": [q_s, q_b],
+    }))
+
+
+if __name__ == "__main__":
+    main()

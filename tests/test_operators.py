@@ -1,0 +1,184 @@
+"""Operator semantics tests against pure-Python mini-oracles (tiny data)."""
+
+import hashlib
+import itertools
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from blacklab_spark.operators import dedup, grouping, multimodal, similarity, textstats
+from blacklab_spark.tokenizer import tokenize
+
+TEXTS = [
+    "the quick brown fox jumps over the lazy dog",
+    "the quick brown fox naps under the lazy dog",
+    "completely different words entirely here now",
+    "the quick brown fox jumps over the lazy dog",   # exact dup of 0
+    "la el los es con un texto breve",
+    "",
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    pdf = pd.DataFrame({
+        "doc_id": range(len(TEXTS)),
+        "text": TEXTS,
+        "lang": ["en", "en", "en", "de", "es", "en"],
+    })
+    df = spark.createDataFrame(pdf)
+    return df.withColumn(
+        "tokens", F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+(?:'[a-z0-9]+)?"), 0)
+    )
+
+
+def test_term_frequencies(docs):
+    got = {r["term"]: (r["df"], r["cf"]) for r in grouping.term_frequencies(docs).collect()}
+    toks = [tokenize(t) for t in TEXTS]
+    for term in {t for tk in toks for t in tk}:
+        df_ = sum(1 for tk in toks if term in tk)
+        cf = sum(tk.count(term) for tk in toks)
+        assert got[term] == (df_, cf), term
+
+
+def test_hits_and_kwic(docs):
+    h = sorted((r["doc_id"], r["pos"]) for r in grouping.hits(docs, "fox").collect())
+    assert h == [(0, 3), (1, 3), (3, 3)]
+    k = {(r["doc_id"], r["pos"]): (r["left"], r["match"], r["right"])
+         for r in grouping.kwic(docs, "the", context=2).collect()}
+    assert k[(0, 0)] == ("", "the", "quick brown")
+    assert k[(0, 6)] == ("jumps over", "the", "lazy dog")
+
+
+def test_collocations(docs):
+    got = {r["term"]: r["n"] for r in grouping.collocations(docs, "fox", window=1).collect()}
+    # neighbors of fox: brown (x3), jumps (x2), naps (x1)
+    assert got == {"brown": 3, "jumps": 2, "naps": 1}
+
+
+def test_group_hits_by_meta(docs):
+    got = {r["lang"]: (r["n_hits"], r["n_docs"])
+           for r in grouping.group_hits_by_meta(docs, "the", "lang").collect()}
+    assert got == {"en": (4, 2), "de": (2, 1)}
+
+
+def test_sample_and_window(docs):
+    s1 = {r["doc_id"] for r in grouping.sample_deterministic(docs, "doc_id", 1, 2).collect()}
+    s2 = {r["doc_id"] for r in grouping.sample_deterministic(docs, "doc_id", 1, 2).collect()}
+    assert s1 == s2  # reproducible
+    expect = {i for i in range(len(TEXTS)) if (i * 2654435761) % 2**32 * 2 < 2**32}
+    assert s1 == expect
+    h = grouping.hits(docs, "the")
+    page = [(r["doc_id"], r["pos"]) for r in
+            grouping.hits_window(h, [F.asc("doc_id"), F.asc("pos")], 2, 2).collect()]
+    all_hits = sorted((r["doc_id"], r["pos"]) for r in h.collect())
+    assert page == all_hits[2:4]
+
+
+def test_dedup_exact(docs):
+    got = sorted((r["kept_id"], r["group_size"]) for r in
+                 dedup.dedup_exact(docs, "text", "doc_id").collect())
+    assert (0, 2) in got            # docs 0 and 3 identical
+    assert len(got) == len(TEXTS) - 1
+
+
+def test_jaccard_and_minhash(docs):
+    sh = dedup.shingles(docs, "tokens", "doc_id", n=3)
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"]
+             for r in dedup.exact_jaccard_pairs(sh, 0.0).collect()}
+    assert pairs[(0, 3)] == 1.0      # exact dup
+    assert 0 < pairs[(0, 1)] < 1.0   # near dup shares shingles
+    assert (0, 2) not in pairs       # disjoint
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    sigs = {r["id"]: tuple(r["sig"]) for r in sig.collect()}
+    assert sigs[0] == sigs[3]
+    cands = {(r["id_a"], r["id_b"]) for r in
+             dedup.lsh_candidate_pairs(sig, 16, 4).collect()}
+    assert (0, 3) in cands           # identical sigs always collide
+
+
+def test_simhash(docs, spark):
+    sig = {r["id"]: r["simhash"] for r in
+           dedup.simhash(docs, "tokens", "doc_id").collect()}
+    assert sig[0] == sig[3]
+    ham01 = bin(sig[0] ^ sig[1]).count("1")
+    ham02 = bin(sig[0] ^ sig[2]).count("1")
+    assert ham01 < ham02             # near-dup closer than unrelated
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             dedup.simhash_near_pairs(
+                 dedup.simhash(docs, "tokens", "doc_id"), max_hamming=3
+             ).collect()}
+    assert pairs.get((0, 3)) == 0
+
+
+def test_cosine_topk(spark):
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(40, 8)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(40), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    q = vecs[7].astype("float64")
+    got = [(r["vec_id"], r["cosine"]) for r in
+           similarity.cosine_topk(emb, q.tolist(), k=5).collect()]
+    sims = (vecs.astype("float64") @ q) / (
+        np.linalg.norm(vecs.astype("float64"), axis=1) * np.linalg.norm(q)
+    )
+    order = sorted(range(40), key=lambda i: (-sims[i], i))[:5]
+    assert [d for d, _ in got] == order
+    assert got[0][0] == 7 and abs(got[0][1] - 1.0) < 1e-12
+    for (d, c) in got:
+        assert abs(c - sims[d]) < 1e-12
+
+    # sign-LSH ANN: candidates contain the query itself; recall sane
+    ann = [r["vec_id"] for r in similarity.signlsh_topk(emb, q.tolist(), k=5).collect()]
+    assert ann[0] == 7
+    assert len(set(ann) & set(order)) >= 2
+
+
+def test_textstats(spark, docs):
+    tc = {r["id"]: (r["n_ws_tokens"], r["n_re_tokens"], r["n_chars"])
+          for r in textstats.token_counts(docs, "text", "doc_id").collect()}
+    assert tc[0] == (9, 9, len(TEXTS[0]))
+    li = {r["id"]: r["lang_pred"] for r in textstats.lang_id(docs, "text", "doc_id").collect()}
+    assert li[4] == "es"
+    assert li[0] == "en"
+    fp = {r["id"]: r["fp"] for r in textstats.fingerprint(docs, "text", "doc_id").collect()}
+    assert fp[0] == fp[3] and fp[0] != fp[1]
+    assert fp[5] == 0
+    q = {r["id"]: r["quality"] for r in textstats.quality_score(docs, "text", "doc_id").collect()}
+    assert q[5] == 0.0 and 0 < q[0] <= 1.0
+
+
+def test_multimodal_plumbing(spark):
+    media = multimodal.synthetic_media(spark, n=12)
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 12
+    assert all(len(r["features"]) == multimodal.FEATURE_DIM for r in feats)
+    # deterministic: same payload -> same features
+    again = multimodal.extract_features(media).collect()
+    assert {r["media_id"]: r["features"] for r in feats} == \
+           {r["media_id"]: r["features"] for r in again}
+    frames = multimodal.frame_sample(media, every_ms=1000).collect()
+    vids = [r for r in media.collect() if r["kind"] == "video"]
+    assert len(frames) == len(vids) * 5  # 5000ms / 1000ms
+    with pytest.raises(NotImplementedError):
+        multimodal.frame_sample(media, 1000, decode_frame_fn=lambda p, t: b"")
+
+
+def test_streaming_window_equivalence(spark, tmp_root):
+    """Structured Streaming windowed agg == batch windowed agg on same data."""
+    from blacklab_spark.streaming.windows import stream_windowed_counts, windowed_event_counts
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    d = f"{tmp_root}/events_stream"
+    ev.write.mode("overwrite").parquet(d)
+    batch = {(r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+             for r in windowed_event_counts(ev, 60).collect()}
+    q = stream_windowed_counts(spark, d, ev.schema, 60, query_name="t_win")
+    try:
+        q.processAllAvailable()
+        stream = {(r["win_start"], r["event_type"]): (r["n"], round(r["total_value"], 6))
+                  for r in spark.sql("SELECT * FROM t_win").collect()}
+    finally:
+        q.stop()
+    assert stream == batch
