@@ -117,6 +117,52 @@ def _tokenize_udf(texts: pd.Series) -> pd.Series:
     return tokenize_series(texts)
 
 
+_TFPOS_SCHEMA = (
+    "doc_id long, dl int, term string, tf int, positions array<int>"
+)
+
+
+def _term_counts_batches(batches):
+    """docs(doc_id, dl, tokens) -> (doc_id, dl, term, tf, positions) rows.
+
+    Fully map-side (NO shuffle): a term's positions within one doc live in
+    one row. Vectorized: flat explode with numpy, lexsort, boundary split.
+    The reference's analog is AnnotationWriter's per-doc position tracking
+    (/root/reference/engine/src/main/java/nl/inl/blacklab/index/annotated/AnnotationWriter.java:267-291).
+    """
+    import numpy as np
+
+    for pdf in batches:
+        toks = pdf["tokens"]
+        lengths = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+        total = int(lengths.sum())
+        if total == 0:
+            continue
+        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
+        row_idx = np.repeat(np.arange(len(toks)), lengths)
+        offs = np.concatenate(([0], np.cumsum(lengths)[:-1]))
+        pos = np.arange(total) - np.repeat(offs, lengths)
+        # sort by (row, term) to get contiguous (doc, term) groups;
+        # factorize terms so the lexsort runs on ints, not strings
+        codes, uniques = pd.factorize(flat)
+        order = np.lexsort((pos, codes, row_idx))
+        r, c, p = row_idx[order], codes[order], pos[order]
+        t = uniques.to_numpy()[c] if hasattr(uniques, "to_numpy") else np.asarray(uniques)[c]
+        new_grp = np.concatenate(([True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])))
+        starts = np.flatnonzero(new_grp)
+        ends = np.concatenate((starts[1:], [total]))
+        tf = (ends - starts).astype(np.int32)
+        doc_ids = pdf["doc_id"].to_numpy()[r[starts]]
+        dls = pdf["dl"].to_numpy()[r[starts]]
+        yield pd.DataFrame({
+            "doc_id": doc_ids,
+            "dl": dls,
+            "term": t[starts],
+            "tf": tf,
+            "positions": [p[s:e].astype("int32") for s, e in zip(starts, ends)],
+        })
+
+
 def build_index(
     spark: SparkSession,
     transcripts: DataFrame,
@@ -191,16 +237,14 @@ def build_index(
     n_docs = meta["n_docs"]
 
     # ---------------- stage: term/doc freq + positions ---------------------
-    # posexplode + hash-agg: whole-stage codegen, partial agg map-side.
-    tfpos = (
-        docs.select("doc_id", "dl", F.posexplode("tokens").alias("pos", "term"))
-        .groupBy("term", "doc_id")
-        .agg(
-            F.count("*").cast("int").alias("tf"),
-            F.sort_array(F.collect_list("pos")).alias("positions"),
-            F.first("dl").alias("dl"),
-        )
+    # Computed MAP-SIDE in one vectorized mapInPandas pass (a term's positions
+    # within a doc live in one row — no (term, doc) shuffle is ever needed).
+    # Persisted because both term_dict and postings consume it.
+    tfpos = docs.select("doc_id", "dl", "tokens").mapInPandas(
+        _term_counts_batches, schema=_TFPOS_SCHEMA
     )
+    from pyspark import StorageLevel
+    tfpos = tfpos.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---------------- stage: term_dict --------------------------------------
     if not _stage_done(paths, "term_dict", paths.term_dict):
@@ -233,38 +277,70 @@ def build_index(
         bs = block_size
         nd = n_docs
         ad = avgdl
+        colnames = [f.name for f in POSTINGS_SCHEMA.fields]
 
-        def encode_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        def encode_partition(batches):
+            """Encode a (term_id, salt)-sorted partition into posting blocks.
+
+            One Python call per ARROW BATCH (not per term); groups straddling
+            batch boundaries are carried over — the pandas-stage analog of
+            BlackLabPostingsWriter's sequential term walk."""
             import numpy as np
-            pdf = pdf.sort_values("doc_id")
-            term_id = int(pdf["term_id"].iloc[0])
-            salt = int(pdf["salt"].iloc[0])
-            df_val = int(pdf["df"].iloc[0])
-            w = scoring.idf(nd, df_val)
-            doc_ids = pdf["doc_id"].to_numpy()
-            tfs = pdf["tf"].to_numpy()
-            dls = pdf["dl"].to_numpy()
-            pos_flat = np.concatenate(
-                [np.asarray(p, dtype="int64") for p in pdf["positions"]]
-            ) if len(pdf) else np.zeros(0, dtype="int64")
-            blocks = codecs.encode_blocks(
-                doc_ids, tfs, dls, pos_flat, avgdl=ad, idf_val=w, block_size=bs
-            )
-            rows = []
-            for i, b in enumerate(blocks):
-                rows.append({
-                    "term_id": term_id,
-                    "block_no": salt * blocks_per_salt + i,
-                    **b,
-                })
-            return pd.DataFrame(
-                rows,
-                columns=[f.name for f in POSTINGS_SCHEMA.fields],
-            )
+
+            pending: pd.DataFrame | None = None
+
+            def encode_groups(pdf: pd.DataFrame):
+                tids = pdf["term_id"].to_numpy()
+                salts = pdf["salt"].to_numpy()
+                newg = np.concatenate(
+                    ([True], (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1]))
+                )
+                starts = np.flatnonzero(newg)
+                ends = np.concatenate((starts[1:], [len(pdf)]))
+                doc_all = pdf["doc_id"].to_numpy()
+                tf_all = pdf["tf"].to_numpy()
+                dl_all = pdf["dl"].to_numpy()
+                df_all = pdf["df"].to_numpy()
+                pos_col = pdf["positions"].to_numpy()
+                rows = []
+                for s, e in zip(starts, ends):
+                    w = scoring.idf(nd, int(df_all[s]))
+                    pos_flat = (
+                        np.concatenate([np.asarray(p, dtype="int64") for p in pos_col[s:e]])
+                        if pos_col[s] is not None else None
+                    )
+                    blocks = codecs.encode_blocks(
+                        doc_all[s:e], tf_all[s:e], dl_all[s:e], pos_flat,
+                        avgdl=ad, idf_val=w, block_size=bs,
+                    )
+                    base = int(salts[s]) * blocks_per_salt
+                    tid = int(tids[s])
+                    for i, b in enumerate(blocks):
+                        rows.append({"term_id": tid, "block_no": base + i, **b})
+                return pd.DataFrame(rows, columns=colnames)
+
+            for pdf in batches:
+                if pending is not None:
+                    pdf = pd.concat([pending, pdf], ignore_index=True)
+                    pending = None
+                if not len(pdf):
+                    continue
+                # hold back the (possibly incomplete) trailing group
+                tids = pdf["term_id"].to_numpy()
+                salts = pdf["salt"].to_numpy()
+                tail = (tids == tids[-1]) & (salts == salts[-1])  # contiguous run
+                cut = 0 if tail.all() else len(pdf) - int(np.argmin(tail[::-1]))
+                pending = pdf.iloc[cut:].reset_index(drop=True)
+                head = pdf.iloc[:cut]
+                if len(head):
+                    yield encode_groups(head)
+            if pending is not None and len(pending):
+                yield encode_groups(pending)
 
         postings = (
-            salted.groupBy("term_id", "salt")
-            .applyInPandas(encode_group, schema=POSTINGS_SCHEMA)
+            salted.repartition(num_partitions, "term_id", "salt")
+            .sortWithinPartitions("term_id", "salt", "doc_id")
+            .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
         )
         # Range-layout by term_id so per-term query scans prune to few files
         # (parquet min/max on term_id), analogous to Lucene's term-sorted
@@ -310,5 +386,6 @@ def build_index(
             blocks_written=int(totals[2] or 0),
         )
 
+    tfpos.unpersist()
     spark.catalog.clearCache()
     return paths

@@ -79,9 +79,34 @@ class Corpus:
         return self.docs.select(*cols, "doc_id")
 
     # ------------------------------------------------------------- lookup --
+    _TD_CACHE_MAX = 2_000_000
+
     def lookup_terms(self, terms: list[str]) -> pd.DataFrame:
-        """Term dictionary seek — parquet pushdown prunes to few files."""
+        """Term dictionary seek. For small vocabularies the dictionary is
+        cached driver-side once (BlackLab similarly keeps Terms in memory,
+        /root/reference/engine/src/main/java/nl/inl/blacklab/forwardindex/Terms.java);
+        for huge vocabularies we fall back to a pushed-down parquet scan."""
         uniq = sorted(set(terms))
+        cache = getattr(self, "_td_cache", None)
+        if cache is None and not getattr(self, "_td_too_big", False):
+            n = self.meta.get("n_terms")
+            if n is None:
+                n = self.term_dict.count()
+                self.meta["n_terms"] = n
+            if n <= self._TD_CACHE_MAX:
+                cache = (
+                    self.term_dict.select("term", "term_id", "df", "cf")
+                    .toPandas()
+                    .set_index("term", drop=False)
+                )
+                self._td_cache = cache
+            else:
+                self._td_too_big = True
+        if cache is not None:
+            hit = [t for t in uniq if t in cache.index]
+            return (
+                cache.loc[hit].sort_values("term_id").reset_index(drop=True)
+            )
         rows = (
             self.term_dict.filter(F.col("term").isin(uniq))
             .select("term", "term_id", "df", "cf")
@@ -228,8 +253,12 @@ class Corpus:
     def score_phrase(self, terms: list[str]) -> DataFrame:
         """Exact adjacent phrase (SpansSequence analog, /root/reference/engine/
         src/main/java/nl/inl/blacklab/search/lucene/SpanQuerySequence.java):
-        per-doc intersection of shifted position lists, Lucene PhraseQuery
-        scoring (idf = sum of member idfs, tf = phrase freq)."""
+        per-doc intersection of slot-shifted position lists via JVM-native
+        array_intersect (whole-stage codegen — no Python in the hot path),
+        joined RAREST TERM FIRST (the ClauseCombinerNfa cost-ordering insight:
+        the smallest posting list drives every subsequent inner join).
+        Scoring: Lucene PhraseQuery — idf = sum of member idfs (duplicates
+        kept), tf = phrase frequency, same BM25 saturation, exact dl."""
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
             return empty
@@ -243,54 +272,42 @@ class Corpus:
             idf_sum += np.float64(scoring.idf(self.n_docs, int(info_by_term[t].df)))
         idf_sum = float(idf_sum)
         avgdl = self.avgdl
-        m = len(terms)
 
+        # decode each DISTINCT term once; reuse for duplicate slots
         decoded = self._decoded_positions(tinfo)
-        # map term_id -> its (possibly multiple) slot indexes in the phrase
-        slots = []
-        for i, t in enumerate(terms):
-            slots.append((int(info_by_term[t].term_id), i))
-        slot_df = self.spark.createDataFrame(slots, "term_id long, slot int")
-        per_slot = decoded.join(F.broadcast(slot_df), "term_id")
-
-        @F.pandas_udf(T.IntegerType())
-        def phrase_tf(slots_col: pd.Series, plists: pd.Series) -> pd.Series:
-            out = np.zeros(len(slots_col), dtype="int32")
-            for i in range(len(slots_col)):
-                sl = slots_col.iloc[i]
-                pl = plists.iloc[i]
-                cand = None
-                for s, p in zip(sl, pl):
-                    shifted = {int(x) - int(s) for x in p}
-                    cand = shifted if cand is None else (cand & shifted)
-                    if not cand:
-                        break
-                out[i] = len(cand) if cand else 0
-            return pd.Series(out)
-
-        @F.pandas_udf(T.DoubleType())
-        def phrase_score(tf: pd.Series, dl: pd.Series) -> pd.Series:
-            return pd.Series(
-                scoring.bm25(tf.to_numpy(), dl.to_numpy(), avgdl, idf_sum)
+        by_term = {
+            t: decoded.filter(F.col("term_id") == int(info_by_term[t].term_id))
+            for t in set(terms)
+        }
+        # rarest-first join order over (slot, term)
+        order = sorted(range(len(terms)), key=lambda i: int(info_by_term[terms[i]].df))
+        acc = None
+        for i in order:
+            shifted = by_term[terms[i]].select(
+                "doc_id",
+                "dl",
+                F.transform("positions", lambda x: x - F.lit(i)).alias("p"),
             )
-
-        grouped = (
-            per_slot.groupBy("doc_id", "dl")
-            .agg(
-                F.countDistinct("slot").alias("nslots"),
-                F.array_sort(F.collect_list(F.struct("slot", "positions"))).alias("sp"),
-            )
-            .filter(F.col("nslots") == F.lit(m))
-            .withColumn(
-                "ptf",
-                phrase_tf(
-                    F.col("sp").getField("slot"), F.col("sp").getField("positions")
-                ),
-            )
-            .filter(F.col("ptf") > 0)
-            .select("doc_id", phrase_score(F.col("ptf"), F.col("dl")).alias("score"))
+            if acc is None:
+                acc = shifted.withColumnRenamed("p", "cand")
+            else:
+                acc = (
+                    acc.join(shifted.drop("dl"), "doc_id")
+                    .withColumn("cand", F.array_intersect("cand", "p"))
+                    .filter(F.size("cand") > 0)
+                    .drop("p")
+                )
+        ptf = acc.select("doc_id", "dl", F.size("cand").alias("tf"))
+        # closed-form BM25 expression, op-ordered to match scoring.bm25 bitwise
+        norm = F.lit(scoring.K1) * (
+            F.lit(1.0 - scoring.B)
+            + F.lit(scoring.B) * F.col("dl").cast("double") / F.lit(avgdl)
         )
-        return grouped
+        score = (
+            F.lit(idf_sum) * F.col("tf").cast("double")
+            / (F.col("tf").cast("double") + norm)
+        )
+        return ptf.select("doc_id", score.alias("score"))
 
     def search_phrase(self, terms: list[str], k: int = 10) -> DataFrame:
         return (
