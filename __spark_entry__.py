@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from blacklab_spark.build import build_index
 from blacklab_spark.corpus import Corpus
 from blacklab_spark.operators import dedup, grouping, similarity, textstats
+from blacklab_spark.operators import spans as S
 from blacklab_spark.streaming.windows import windowed_event_counts
 from blacklab_spark.tokenizer import TOKEN_PATTERN_SQL
 
@@ -298,6 +299,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", F.round("total_value", 3).alias("total_value"),
         )
 
+    # ---- span algebra (SURVEY.md §2.3) ----
+    def span_sequence_gap(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
+        seq = S.sequence(
+            S.span_term(docs, "join"), S.span_term(docs, "scan"), 0, 2
+        )
+        return seq.select("doc_id", "start", "end")
+
+    def span_within(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
+        bigram = S.sequence(S.span_term(docs, "table"), S.span_term(docs, "hash"))
+        return S.within(S.span_term(docs, "hash"), bigram).select("doc_id", "start", "end")
+
+    def span_not_counts(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
+        nots = S.span_not_tokens(docs, S.span_term(docs, "join"))
+        return nots.groupBy("doc_id").agg(F.count("*").alias("n_not"))
+
+    def span_repetition(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
+        rep = S.repetition(S.span_term(docs, "vector"), 2, 2)
+        return rep.select("doc_id", "start", "end")
+
+    def span_expand(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
+        ex = S.expand(S.span_term(docs, "join"), docs, left=1, right=1)
+        return ex.select("doc_id", "start", "end")
+
+    def fuzzy_expand(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return S.fuzzy_terms(c.term_dict, "joins", 1).select("term", "df", "cf", "dist")
+
     # non-SQL-expressible (rows-only check): approximate ANN via sign-LSH
     def ann_lsh_topk(spark, sf_dir):
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -330,6 +363,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "events_hourly": events_hourly,
+        "span_sequence_gap": span_sequence_gap,
+        "span_within": span_within,
+        "span_not_counts": span_not_counts,
+        "span_repetition": span_repetition,
+        "span_expand": span_expand,
+        "fuzzy_expand": fuzzy_expand,
         "ann_lsh_topk": ann_lsh_topk,
     }
 
@@ -533,6 +572,43 @@ FROM documents d LEFT JOIN f ON f.id = d.doc_id
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start_epoch,
        event_type, count(*) AS n, round(sum(value), 3) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "span_sequence_gap": f"""
+WITH {_POS_CTES},
+a AS (SELECT doc_id, i FROM pos WHERE tok = 'join'),
+b AS (SELECT doc_id, i FROM pos WHERE tok = 'scan')
+SELECT a.doc_id, a.i - 1 AS start, b.i AS "end"
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.i - a.i - 1 BETWEEN 0 AND 2
+""",
+        "span_within": f"""
+WITH {_POS_CTES},
+h AS (SELECT doc_id, i FROM pos WHERE tok = 'hash'),
+bi AS (
+  SELECT doc_id, i - 1 AS s, i + 1 AS e FROM pos
+  WHERE tok = 'table' AND i + 1 <= len(toks) AND toks[i + 1] = 'hash'
+)
+SELECT DISTINCT h.doc_id, h.i - 1 AS start, h.i AS "end"
+FROM h JOIN bi ON h.doc_id = bi.doc_id AND h.i - 1 >= bi.s AND h.i <= bi.e
+""",
+        "span_not_counts": f"""
+WITH {_POS_CTES}
+SELECT doc_id, count(*) AS n_not FROM pos WHERE tok != 'join' GROUP BY doc_id
+""",
+        "span_repetition": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS start, i + 1 AS "end" FROM pos
+WHERE tok = 'vector' AND i + 1 <= len(toks) AND toks[i + 1] = 'vector'
+""",
+        "span_expand": f"""
+WITH {_POS_CTES}
+SELECT doc_id, greatest(i - 2, 0) AS start, least(i + 1, len(toks)) AS "end"
+FROM pos WHERE tok = 'join'
+""",
+        "fuzzy_expand": f"""
+WITH {_BASE_CTES},
+td AS (SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term)
+SELECT term, df, cf, levenshtein(term, 'joins') AS dist
+FROM td WHERE levenshtein(term, 'joins') <= 1
 """,
         # ann_lsh_topk intentionally omitted: approximate, non-SQL-expressible
     }

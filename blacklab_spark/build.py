@@ -191,8 +191,9 @@ def build_index(
     # ---------------- stage: docs (docmap + tokenize + forward index) ------
     if not _stage_done(paths, "docs", paths.docs):
         t0 = time.time()
-        with_ids = assign_dense_ids(
-            transcripts, list(doc_key), id_col="doc_id", num_partitions=num_partitions
+        with_ids, n_docs = assign_dense_ids(
+            transcripts, list(doc_key), id_col="doc_id",
+            num_partitions=num_partitions, return_count=True,
         )
         docs = (
             with_ids
@@ -201,7 +202,6 @@ def build_index(
         )
         docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(paths.docs)
         spark.catalog.clearCache()
-        n_docs = spark.read.parquet(paths.docs).count()
         _mark_stage(paths, "docs", t0, docs_indexed=n_docs)
 
     docs = spark.read.parquet(paths.docs)
@@ -252,12 +252,15 @@ def build_index(
         term_stats = tfpos.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
         )
-        term_dict = assign_dense_ids(
-            term_stats, ["term"], id_col="term_id", num_partitions=num_partitions
+        term_dict, n_terms = assign_dense_ids(
+            term_stats, ["term"], id_col="term_id",
+            num_partitions=num_partitions, return_count=True,
         )
         term_dict.sortWithinPartitions("term").write.mode("overwrite").parquet(paths.term_dict)
         spark.catalog.clearCache()
-        n_terms = spark.read.parquet(paths.term_dict).count()
+        meta["n_terms"] = n_terms
+        with open(paths.meta, "w") as f:
+            json.dump(meta, f, indent=2)
         _mark_stage(paths, "term_dict", t0, n_terms=n_terms)
     term_dict = spark.read.parquet(paths.term_dict)
 

@@ -23,12 +23,15 @@ def assign_dense_ids(
     order_cols: list[str],
     id_col: str = "doc_id",
     num_partitions: int | None = None,
-) -> DataFrame:
+    return_count: bool = False,
+):
     """Add `id_col` = dense 0-based global rank of the row by order_cols.
 
     order_cols must be a unique key (for transcripts: (conv_id, turn_idx) —
     the BASELINE.json document-identity contract). The input is re-range-
     partitioned; output partitioning is by range of order_cols.
+    return_count=True → (df, total_rows): the total falls out of the offset
+    computation for free, sparing callers a separate full count job.
     """
     spark = df.sparkSession
     if num_partitions is None:
@@ -62,6 +65,8 @@ def assign_dense_ids(
         )
         # Materialization happens in the caller (build writes parquet
         # immediately); unpersist is deferred to then via the returned plan.
+        if return_count:
+            return out, acc
         return out
     except Exception:
         with_pid.unpersist()

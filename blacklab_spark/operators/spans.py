@@ -1,0 +1,179 @@
+"""Span algebra — positional combinators over the forward index.
+
+BlackLab's span operators (SURVEY.md §2.3) re-expressed as DataFrame plans.
+A span set is a DataFrame (doc_id long, start int, end int) with half-open
+[start, end) positions (matching the reference's Hit contract,
+/root/reference/engine/src/main/java/nl/inl/blacklab/search/results/hits/Hit.java:12-40).
+
+Every combinator is a position join/filter that Catalyst can plan per-doc
+(all joins carry doc_id as an equi-key, so they hash-shuffle on doc_id and
+whole-stage-codegen the position predicates — the Spark analog of BlackLab's
+per-document merge-join of sorted spans):
+
+  span_term              BLSpanTermQuery            (leaf; length-1 spans)
+  sequence               SpanQuerySequence / SpansSequenceWithGap (gap m..n)
+  span_and               SpanQueryAnd     (identical start+end)
+  span_or                BLSpanOrQuery    (union, dedup)
+  span_not_tokens        SpanQueryNot     (tokens not covered by clause hits)
+  within / containing    SpanQueryPositionFilter
+  expand                 SpanQueryExpansion (clamped by doc length)
+  edge                   SpanQueryEdge    (zero-length leading/trailing edge)
+  repetition             SpanQueryRepetition (A{m,n} via iterated self-join)
+  filter_by_length       SpanQueryFilterByHitLength
+  unique_spans           SpansUnique
+  fuzzy_terms            SpanFuzzyQuery   (levenshtein over the term dict)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blacklab_spark.operators.grouping import explode_tokens
+
+SPAN_COLS = ["doc_id", "start", "end"]
+
+
+def span_term(docs: DataFrame, term: str) -> DataFrame:
+    """Leaf: every occurrence of `term` as a length-1 span."""
+    return (
+        explode_tokens(docs)
+        .filter(F.col("term") == term)
+        .select(
+            "doc_id",
+            F.col("pos").alias("start"),
+            (F.col("pos") + 1).alias("end"),
+        )
+    )
+
+
+def sequence(a: DataFrame, b: DataFrame, gap_min: int = 0, gap_max: int = 0) -> DataFrame:
+    """A followed by B with gap in [gap_min, gap_max] tokens:
+    b.start - a.end ∈ [gap_min, gap_max]; result spans a.start..b.end."""
+    aa, bb = a.alias("a"), b.alias("b")
+    return (
+        aa.join(
+            bb,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.start") - F.col("a.end") >= gap_min)
+            & (F.col("b.start") - F.col("a.end") <= gap_max),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.start").alias("start"),
+            F.col("b.end").alias("end"),
+        )
+    )
+
+
+def span_and(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Spans present in both clauses with identical extent."""
+    return a.select(*SPAN_COLS).intersect(b.select(*SPAN_COLS))
+
+
+def span_or(*clauses: DataFrame) -> DataFrame:
+    """Union of clause hits, deduplicated."""
+    out = clauses[0].select(*SPAN_COLS)
+    for c in clauses[1:]:
+        out = out.unionByName(c.select(*SPAN_COLS))
+    return out.dropDuplicates(SPAN_COLS)
+
+
+def span_not_tokens(docs: DataFrame, clause: DataFrame) -> DataFrame:
+    """All single-token positions NOT covered by any clause hit
+    (SpanQueryNot/SpansNot: anti-join of the token stream against hits)."""
+    toks = explode_tokens(docs).select("doc_id", "pos")
+    c = clause.alias("c")
+    covered = toks.alias("t").join(
+        c,
+        (F.col("t.doc_id") == F.col("c.doc_id"))
+        & (F.col("t.pos") >= F.col("c.start"))
+        & (F.col("t.pos") < F.col("c.end")),
+        "left_semi",
+    )
+    return (
+        toks.exceptAll(covered)
+        .select("doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"))
+    )
+
+
+def within(producer: DataFrame, container: DataFrame, invert: bool = False) -> DataFrame:
+    """Producer spans fully inside a container span (SpanQueryPositionFilter
+    WITHIN); invert=True → NOT WITHIN."""
+    p, c = producer.alias("p"), container.alias("c")
+    cond = (
+        (F.col("p.doc_id") == F.col("c.doc_id"))
+        & (F.col("p.start") >= F.col("c.start"))
+        & (F.col("p.end") <= F.col("c.end"))
+    )
+    how = "left_anti" if invert else "left_semi"
+    return p.join(c, cond, how).select(*SPAN_COLS)
+
+
+def containing(producer: DataFrame, contained: DataFrame, invert: bool = False) -> DataFrame:
+    """Producer spans that contain a hit of `contained` (CONTAINING)."""
+    p, c = producer.alias("p"), contained.alias("c")
+    cond = (
+        (F.col("p.doc_id") == F.col("c.doc_id"))
+        & (F.col("c.start") >= F.col("p.start"))
+        & (F.col("c.end") <= F.col("p.end"))
+    )
+    how = "left_anti" if invert else "left_semi"
+    return p.join(c, cond, how).select(*SPAN_COLS)
+
+
+def expand(spans: DataFrame, docs: DataFrame, left: int = 0, right: int = 0) -> DataFrame:
+    """Expand spans left/right, clamped to [0, dl] (SpanQueryExpansion)."""
+    out = spans.join(docs.select("doc_id", "dl"), "doc_id")
+    return out.select(
+        "doc_id",
+        F.greatest(F.col("start") - left, F.lit(0)).alias("start"),
+        F.least(F.col("end") + right, F.col("dl")).alias("end"),
+    )
+
+
+def edge(spans: DataFrame, trailing: bool = False) -> DataFrame:
+    """Zero-length leading (or trailing) edge of each span (SpanQueryEdge)."""
+    if trailing:
+        return spans.select("doc_id", F.col("end").alias("start"), F.col("end").alias("end"))
+    return spans.select("doc_id", F.col("start").alias("start"), F.col("start").alias("end"))
+
+
+def repetition(base: DataFrame, min_rep: int, max_rep: int) -> DataFrame:
+    """A{m,n}: consecutive repetitions via bounded iterated self-join
+    (SpanQueryRepetition; the loop lives in the planner, not the data)."""
+    assert 1 <= min_rep <= max_rep
+    results = []
+    cur = base.select(*SPAN_COLS)
+    for n in range(1, max_rep + 1):
+        if n >= min_rep + 0:
+            if n >= min_rep:
+                results.append(cur)
+        if n < max_rep:
+            cur = sequence(cur, base, 0, 0)
+    out = results[0]
+    for r in results[1:]:
+        out = out.unionByName(r)
+    return out.dropDuplicates(SPAN_COLS)
+
+
+def filter_by_length(spans: DataFrame, min_len: int = 0, max_len: int | None = None) -> DataFrame:
+    ln = F.col("end") - F.col("start")
+    out = spans.filter(ln >= min_len)
+    if max_len is not None:
+        out = out.filter(ln <= max_len)
+    return out
+
+
+def unique_spans(spans: DataFrame) -> DataFrame:
+    return spans.dropDuplicates(SPAN_COLS)
+
+
+def fuzzy_terms(term_dict: DataFrame, term: str, max_dist: int = 1) -> DataFrame:
+    """Edit-distance term expansion over the term dictionary (SpanFuzzyQuery):
+    returns (term, df, cf, dist) for terms within levenshtein <= max_dist."""
+    return (
+        term_dict.withColumn("dist", F.levenshtein(F.col("term"), F.lit(term)))
+        .filter(F.col("dist") <= max_dist)
+        .select("term", "df", "cf", "dist")
+    )
