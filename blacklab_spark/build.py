@@ -118,49 +118,81 @@ def _tokenize_udf(texts: pd.Series) -> pd.Series:
 
 
 _TFPOS_SCHEMA = (
-    "doc_id long, dl int, term string, tf int, positions array<int>"
+    "doc_id long, dl int, term string, tf int, pos_enc binary"
 )
 
 
 def _term_counts_batches(batches):
-    """docs(doc_id, dl, tokens) -> (doc_id, dl, term, tf, positions) rows.
+    """docs(doc_id, dl, tokens) -> (doc_id, dl, term, tf, pos_enc) Arrow batches.
 
     Fully map-side (NO shuffle): a term's positions within one doc live in
-    one row. Vectorized: flat explode with numpy, lexsort, boundary split.
-    The reference's analog is AnnotationWriter's per-doc position tracking
+    one row. Arrow-native end to end — terms are dictionary-encoded in C++
+    (no Python string objects), position gaps are varint-encoded into ONE
+    buffer per batch and exposed as a zero-copy Arrow binary column (gaps
+    restart per (doc, term) group, so any downstream contiguous row range's
+    positions are a single buffer slice). The reference's analog is
+    AnnotationWriter's per-doc position tracking
     (/root/reference/engine/src/main/java/nl/inl/blacklab/index/annotated/AnnotationWriter.java:267-291).
     """
     import numpy as np
+    import pyarrow as pa
 
-    for pdf in batches:
-        toks = pdf["tokens"]
-        lengths = np.fromiter((len(t) for t in toks), dtype=np.int64, count=len(toks))
+    from blacklab_spark.codecs import varint_encode_with_lengths
+
+    for rb in batches:
+        toks = rb.column(rb.schema.get_field_index("tokens"))
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        n_rows = len(toks)
+        if n_rows == 0:
+            continue
+        loffs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        loffs = loffs - loffs[0]
+        lengths = np.diff(loffs)
         total = int(lengths.sum())
         if total == 0:
             continue
-        flat = np.concatenate([np.asarray(t, dtype=object) for t in toks if len(t)])
-        row_idx = np.repeat(np.arange(len(toks)), lengths)
-        offs = np.concatenate(([0], np.cumsum(lengths)[:-1]))
-        pos = np.arange(total) - np.repeat(offs, lengths)
-        # sort by (row, term) to get contiguous (doc, term) groups;
-        # factorize terms so the lexsort runs on ints, not strings
-        codes, uniques = pd.factorize(flat)
+        flat = toks.flatten()
+        # dictionary_encode = Arrow-native factorize (C++, no Python objects)
+        denc = flat.dictionary_encode()
+        codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+        dictionary = denc.dictionary
+
+        row_idx = np.repeat(np.arange(n_rows), lengths)
+        pos = np.arange(total) - np.repeat(loffs[:-1], lengths)
         order = np.lexsort((pos, codes, row_idx))
         r, c, p = row_idx[order], codes[order], pos[order]
-        t = uniques.to_numpy()[c] if hasattr(uniques, "to_numpy") else np.asarray(uniques)[c]
         new_grp = np.concatenate(([True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])))
         starts = np.flatnonzero(new_grp)
         ends = np.concatenate((starts[1:], [total]))
         tf = (ends - starts).astype(np.int32)
-        doc_ids = pdf["doc_id"].to_numpy()[r[starts]]
-        dls = pdf["dl"].to_numpy()[r[starts]]
-        yield pd.DataFrame({
-            "doc_id": doc_ids,
-            "dl": dls,
-            "term": t[starts],
-            "tf": tf,
-            "positions": [p[s:e].astype("int32") for s, e in zip(starts, ends)],
-        })
+        gaps = np.diff(p, prepend=np.int64(0))
+        gaps[starts] = p[starts]
+        buf, nb = varint_encode_with_lengths(gaps.astype(np.uint64))
+        boffs = np.concatenate(([0], np.cumsum(nb))).astype(np.int32)
+
+        doc_ids = rb.column(rb.schema.get_field_index("doc_id")).to_numpy(
+            zero_copy_only=False
+        )[r[starts]]
+        dls = rb.column(rb.schema.get_field_index("dl")).to_numpy(
+            zero_copy_only=False
+        )[r[starts]]
+        # zero-copy binary column: per-group byte ranges of the single buffer
+        pos_enc = pa.Array.from_buffers(
+            pa.binary(),
+            len(starts),
+            [None, pa.py_buffer(boffs[np.concatenate((starts, [total]))].tobytes()), pa.py_buffer(buf)],
+        )
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(doc_ids, pa.int64()),
+                pa.array(dls.astype(np.int32), pa.int32()),
+                dictionary.take(pa.array(c[starts])),
+                pa.array(tf, pa.int32()),
+                pos_enc,
+            ],
+            names=["doc_id", "dl", "term", "tf", "pos_enc"],
+        )
 
 
 def build_index(
@@ -189,19 +221,60 @@ def build_index(
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     # ---------------- stage: docs (docmap + tokenize + forward index) ------
+    # Fused single pass: one range shuffle sorts rows globally by doc_key;
+    # partition row-counts (a cheap cached count) give each partition its
+    # docID offset; ONE mapInPandas then assigns dense ids AND tokenizes.
+    # No window exchange (the old hash(_pid) window skewed ~3x with
+    # n_groups == n_partitions), no second pass over the text.
     if not _stage_done(paths, "docs", paths.docs):
         t0 = time.time()
-        with_ids, n_docs = assign_dense_ids(
-            transcripts, list(doc_key), id_col="doc_id",
-            num_partitions=num_partitions, return_count=True,
+        import numpy as np
+        from pyspark import TaskContext
+
+        ranged = (
+            transcripts.repartitionByRange(num_partitions, *doc_key)
+            .sortWithinPartitions(*doc_key)
+            .persist()
         )
-        docs = (
-            with_ids
-            .withColumn("tokens", _tokenize_udf(F.col("text")))
-            .withColumn("dl", F.size("tokens").cast("int"))
+        counts = {
+            r["_pid"]: r["cnt"]
+            for r in ranged.groupBy(F.spark_partition_id().alias("_pid"))
+            .agg(F.count("*").alias("cnt")).collect()
+        }
+        offsets = {}
+        acc = 0
+        for pid in sorted(counts):
+            offsets[pid] = acc
+            acc += counts[pid]
+        n_docs = acc
+        bc_offsets = spark.sparkContext.broadcast(offsets)
+
+        out_schema = T.StructType(
+            list(transcripts.schema.fields)
+            + [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("tokens", T.ArrayType(T.StringType())),
+                T.StructField("dl", T.IntegerType()),
+            ]
         )
-        docs.sortWithinPartitions("doc_id").write.mode("overwrite").parquet(paths.docs)
-        spark.catalog.clearCache()
+
+        def assign_and_tokenize(batches):
+            pid = TaskContext.get().partitionId()
+            base = bc_offsets.value.get(pid, 0)
+            seen = 0
+            for pdf in batches:
+                toks = tokenize_series(pdf["text"])
+                pdf = pdf.assign(
+                    doc_id=np.arange(seen, seen + len(pdf), dtype="int64") + base,
+                    tokens=toks,
+                    dl=toks.str.len().astype("int32"),
+                )
+                seen += len(pdf)
+                yield pdf
+
+        docs = ranged.mapInPandas(assign_and_tokenize, schema=out_schema)
+        docs.write.mode("overwrite").parquet(paths.docs)
+        ranged.unpersist()
         _mark_stage(paths, "docs", t0, docs_indexed=n_docs)
 
     docs = spark.read.parquet(paths.docs)
@@ -239,19 +312,22 @@ def build_index(
     # ---------------- stage: term/doc freq + positions ---------------------
     # Computed MAP-SIDE in one vectorized mapInPandas pass (a term's positions
     # within a doc live in one row — no (term, doc) shuffle is ever needed).
-    # Persisted because both term_dict and postings consume it.
-    tfpos = docs.select("doc_id", "dl", "tokens").mapInPandas(
+    # Deliberately NOT persisted: the pass is cheap and embarrassingly
+    # parallel; caching 10^12-scale position lists would cost more in
+    # serialization + memory pressure than recomputing the map stage for its
+    # two consumers (measured: persist added ~10 s/480k turns and didn't scale).
+    tfpos = docs.select("doc_id", "dl", "tokens").mapInArrow(
         _term_counts_batches, schema=_TFPOS_SCHEMA
     )
-    from pyspark import StorageLevel
-    tfpos = tfpos.persist(StorageLevel.MEMORY_AND_DISK)
 
     # ---------------- stage: term_dict --------------------------------------
     if not _stage_done(paths, "term_dict", paths.term_dict):
         t0 = time.time()
+        # persist the (small) per-term stats so assign_dense_ids' range
+        # sampling pass doesn't recompute the full tfpos lineage
         term_stats = tfpos.groupBy("term").agg(
             F.count("*").alias("df"), F.sum("tf").alias("cf")
-        )
+        ).persist()
         term_dict, n_terms = assign_dense_ids(
             term_stats, ["term"], id_col="term_id",
             num_partitions=num_partitions, return_count=True,
@@ -261,6 +337,7 @@ def build_index(
         meta["n_terms"] = n_terms
         with open(paths.meta, "w") as f:
             json.dump(meta, f, indent=2)
+        term_stats.unpersist()
         _mark_stage(paths, "term_dict", t0, n_terms=n_terms)
     term_dict = spark.read.parquet(paths.term_dict)
 
@@ -285,66 +362,122 @@ def build_index(
         def encode_partition(batches):
             """Encode a (term_id, salt)-sorted partition into posting blocks.
 
-            One Python call per ARROW BATCH (not per term); groups straddling
-            batch boundaries are carried over — the pandas-stage analog of
+            Arrow-native: one Python call per ARROW BATCH (not per term);
+            input columns are zero-copy numpy views; a group's position bytes
+            are ONE slice of the batch's binary data buffer (rows are sorted,
+            per-doc gap restart). Groups straddling batch boundaries are
+            carried over as numpy arrays — the Arrow-stage analog of
             BlackLabPostingsWriter's sequential term walk."""
             import numpy as np
+            import pyarrow as pa
 
-            pending: pd.DataFrame | None = None
+            cols = ["term_id", "salt", "doc_id", "tf", "dl", "df"]
+            pending = None  # (arrays dict, pos_data bytes, pos_offs np.int64)
 
-            def encode_groups(pdf: pd.DataFrame):
-                tids = pdf["term_id"].to_numpy()
-                salts = pdf["salt"].to_numpy()
+            def extract(rb):
+                arrs = {}
+                for name in cols:
+                    arrs[name] = rb.column(rb.schema.get_field_index(name)).to_numpy(
+                        zero_copy_only=False
+                    )
+                pe = rb.column(rb.schema.get_field_index("pos_enc"))
+                if isinstance(pe, pa.ChunkedArray):
+                    pe = pe.combine_chunks()
+                # BinaryArray buffers: [validity, int32 offsets, data]
+                bufs = pe.buffers()
+                raw_offs = np.frombuffer(bufs[1], dtype=np.int32)
+                offs = raw_offs[pe.offset : pe.offset + len(pe) + 1].astype(np.int64)
+                data = (
+                    np.frombuffer(bufs[2], dtype=np.uint8)
+                    if bufs[2] is not None
+                    else np.zeros(0, np.uint8)
+                )
+                base = offs[0]
+                return arrs, data[base:offs[-1]].tobytes(), offs - base
+
+            def encode_groups(arrs, pos_data, pos_offs):
+                tids = arrs["term_id"]
+                salts = arrs["salt"]
+                n = len(tids)
                 newg = np.concatenate(
                     ([True], (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1]))
                 )
                 starts = np.flatnonzero(newg)
-                ends = np.concatenate((starts[1:], [len(pdf)]))
-                doc_all = pdf["doc_id"].to_numpy()
-                tf_all = pdf["tf"].to_numpy()
-                dl_all = pdf["dl"].to_numpy()
-                df_all = pdf["df"].to_numpy()
-                pos_col = pdf["positions"].to_numpy()
+                ends = np.concatenate((starts[1:], [n]))
                 rows = []
                 for s, e in zip(starts, ends):
-                    w = scoring.idf(nd, int(df_all[s]))
-                    pos_flat = (
-                        np.concatenate([np.asarray(p, dtype="int64") for p in pos_col[s:e]])
-                        if pos_col[s] is not None else None
-                    )
+                    w = scoring.idf(nd, int(arrs["df"][s]))
                     blocks = codecs.encode_blocks(
-                        doc_all[s:e], tf_all[s:e], dl_all[s:e], pos_flat,
+                        arrs["doc_id"][s:e], arrs["tf"][s:e], arrs["dl"][s:e], None,
                         avgdl=ad, idf_val=w, block_size=bs,
                     )
                     base = int(salts[s]) * blocks_per_salt
                     tid = int(tids[s])
                     for i, b in enumerate(blocks):
+                        lo = s + i * bs
+                        hi = min(s + (i + 1) * bs, e)
+                        b["positions"] = pos_data[pos_offs[lo]:pos_offs[hi]]
                         rows.append({"term_id": tid, "block_no": base + i, **b})
-                return pd.DataFrame(rows, columns=colnames)
+                out = {k: [r[k] for r in rows] for k in colnames}
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(out["term_id"], pa.int64()),
+                        pa.array(out["block_no"], pa.int64()),
+                        pa.array(out["first_doc_id"], pa.int64()),
+                        pa.array(out["last_doc_id"], pa.int64()),
+                        pa.array(out["num_docs"], pa.int32()),
+                        pa.array(out["doc_gaps"], pa.binary()),
+                        pa.array(out["tfs"], pa.binary()),
+                        pa.array(out["dls"], pa.binary()),
+                        pa.array(out["positions"], pa.binary()),
+                        pa.array(out["block_max_tf"], pa.int32()),
+                        pa.array(out["block_max_score"], pa.float64()),
+                    ],
+                    names=colnames,
+                )
 
-            for pdf in batches:
-                if pending is not None:
-                    pdf = pd.concat([pending, pdf], ignore_index=True)
-                    pending = None
-                if not len(pdf):
+            def merge(pend, cur):
+                arrs = {
+                    k: np.concatenate((pend[0][k], cur[0][k])) for k in cols
+                }
+                data = pend[1] + cur[1]
+                offs = np.concatenate((pend[2][:-1], cur[2] + pend[2][-1]))
+                return arrs, data, offs
+
+            for rb in batches:
+                if rb.num_rows == 0:
                     continue
-                # hold back the (possibly incomplete) trailing group
-                tids = pdf["term_id"].to_numpy()
-                salts = pdf["salt"].to_numpy()
-                tail = (tids == tids[-1]) & (salts == salts[-1])  # contiguous run
-                cut = 0 if tail.all() else len(pdf) - int(np.argmin(tail[::-1]))
-                pending = pdf.iloc[cut:].reset_index(drop=True)
-                head = pdf.iloc[:cut]
-                if len(head):
-                    yield encode_groups(head)
-            if pending is not None and len(pending):
-                yield encode_groups(pending)
+                cur = extract(rb)
+                if pending is not None:
+                    cur = merge(pending, cur)
+                    pending = None
+                tids = cur[0]["term_id"]
+                salts = cur[0]["salt"]
+                tail = (tids == tids[-1]) & (salts == salts[-1])
+                n = len(tids)
+                cut = 0 if tail.all() else n - int(np.argmin(tail[::-1]))
+                head = (
+                    {k: v[:cut] for k, v in cur[0].items()},
+                    cur[1][: int(cur[2][cut])],
+                    cur[2][: cut + 1],
+                )
+                pending = (
+                    {k: v[cut:] for k, v in cur[0].items()},
+                    cur[1][int(cur[2][cut]):],
+                    cur[2][cut:] - cur[2][cut],
+                )
+                if cut > 0:
+                    yield encode_groups(*head)
+            if pending is not None and len(pending[0]["term_id"]):
+                yield encode_groups(*pending)
 
         postings = (
-            salted.repartition(num_partitions, "term_id", "salt")
+            salted.select("term_id", "salt", "doc_id", "tf", "dl", "df", "pos_enc")
+            .repartition(num_partitions, "term_id", "salt")
             .sortWithinPartitions("term_id", "salt", "doc_id")
-            .mapInPandas(encode_partition, schema=POSTINGS_SCHEMA)
-        )
+            .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
+        ).persist()  # blocks are small; without this, repartitionByRange's
+        #              sampling pass would run the whole encode pipeline twice
         # Range-layout by term_id so per-term query scans prune to few files
         # (parquet min/max on term_id), analogous to Lucene's term-sorted
         # postings file.
@@ -354,6 +487,7 @@ def build_index(
             .write.mode("overwrite")
             .parquet(paths.postings)
         )
+        postings.unpersist()
         _mark_stage(paths, "postings", t0)
 
     # ---------------- stage: manifest (per-partition lineage + metrics) ----
@@ -389,6 +523,5 @@ def build_index(
             blocks_written=int(totals[2] or 0),
         )
 
-    tfpos.unpersist()
     spark.catalog.clearCache()
     return paths

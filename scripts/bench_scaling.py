@@ -15,7 +15,10 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
-def run(cpus: int, turns: int) -> dict:
+REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+
+
+def run_once(cpus: int, turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_TURNS"] = str(turns)
@@ -27,14 +30,35 @@ def run(cpus: int, turns: int) -> dict:
     return json.loads(line)
 
 
+def run_interleaved(cpu_levels: list[int], turns: int) -> dict[int, dict]:
+    """Alternate the two parallelism levels round-robin so this sandbox's
+    multi-minute host-performance drift hits both levels equally, run warm
+    builds (BENCH_BUILDS=2 → second build has hot JVM/python workers), and
+    take per-level best-of — the standard unloaded-capacity estimator."""
+    os.environ.setdefault("BENCH_BUILDS", "2")
+    results: dict[int, list[dict]] = {c: [] for c in cpu_levels}
+    for _ in range(REPEATS):
+        for c in cpu_levels:
+            results[c].append(run_once(c, turns))
+    out = {}
+    for c, runs in results.items():
+        best = max(runs, key=lambda r: r["build"]["turns_per_sec"])
+        best["queries"] = {
+            k: min(r["queries"][k] for r in runs) for k in best["queries"]
+        }
+        best["all_build_tps"] = [r["build"]["turns_per_sec"] for r in runs]
+        out[c] = best
+    return out
+
+
 def main():
     n_small = int(sys.argv[1]) if len(sys.argv) > 1 else 8
     n_big = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     turns = int(sys.argv[3]) if len(sys.argv) > 3 else 120_000
     factor = n_big / n_small
 
-    small = run(n_small, turns)
-    big = run(n_big, turns)
+    both = run_interleaved([n_small, n_big], turns)
+    small, big = both[n_small], both[n_big]
 
     b_s = small["build"]["turns_per_sec"]
     b_b = big["build"]["turns_per_sec"]
