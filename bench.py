@@ -48,7 +48,7 @@ def main():
     # after the first run with a warm JVM/python-worker pool — the steady
     # state that matters at 10^12-turn scale, where cold-start is amortized
     # away entirely (also damps this sandbox's large host-noise swings).
-    n_builds = int(os.environ.get("BENCH_BUILDS", "1"))
+    n_builds = int(os.environ.get("BENCH_BUILDS", "2"))
     try:
         # ---- index build ----
         build_secs = []
