@@ -137,7 +137,13 @@ class Corpus:
             for r in tinfo.itertuples()
         }
         avgdl = self.avgdl
-        single_wand = k_hint is not None and len(term_ids) == 1
+        # block-max bounds are stale after an incremental append (df/avgdl
+        # moved) — prune only when the index is compacted (bounds fresh)
+        single_wand = (
+            k_hint is not None
+            and len(term_ids) == 1
+            and not self.meta.get("bounds_stale", False)
+        )
         k = k_hint or 0
 
         blocks = self.postings.filter(F.col("term_id").isin(term_ids)).select(
