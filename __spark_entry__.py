@@ -299,6 +299,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", F.round("total_value", 3).alias("total_value"),
         )
 
+    def hits_sorted_by_after(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir)
+        return grouping.sort_hits_by_context(docs, TERM, offset=1, limit=25)
+
+    def doc_results(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir)
+        return grouping.doc_results(docs, TERM, max_stored=3)
+
+    def autocomplete(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return grouping.autocomplete(c.term_dict, "s", k=10)
+
     # ---- span algebra (SURVEY.md §2.3) ----
     def span_sequence_gap(spark, sf_dir):
         docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
@@ -363,6 +375,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "events_hourly": events_hourly,
+        "hits_sorted_by_after": hits_sorted_by_after,
+        "doc_results": doc_results,
+        "autocomplete": autocomplete,
         "span_sequence_gap": span_sequence_gap,
         "span_within": span_within,
         "span_not_counts": span_not_counts,
@@ -572,6 +587,26 @@ FROM documents d LEFT JOIN f ON f.id = d.doc_id
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start_epoch,
        event_type, count(*) AS n, round(sum(value), 3) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "hits_sorted_by_after": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS pos,
+       coalesce(toks[i + 1], '') AS context
+FROM pos WHERE tok = '{TERM}'
+ORDER BY context ASC, doc_id ASC, pos ASC LIMIT 25
+""",
+        "doc_results": f"""
+WITH {_POS_CTES},
+h AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tok = '{TERM}')
+SELECT doc_id, count(*) AS n_hits,
+       (list(p ORDER BY p))[1:3] AS first_positions
+FROM h GROUP BY doc_id
+""",
+        "autocomplete": f"""
+WITH {_BASE_CTES},
+td AS (SELECT term, count(*) AS cf FROM tok GROUP BY term)
+SELECT term, cf FROM td WHERE term LIKE 's%'
+ORDER BY cf DESC, term ASC LIMIT 10
 """,
         "span_sequence_gap": f"""
 WITH {_POS_CTES},

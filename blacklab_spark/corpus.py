@@ -193,38 +193,60 @@ class Corpus:
         return blocks.mapInPandas(decode, schema=_DECODED_SCHEMA)
 
     def _decoded_positions(self, tinfo: pd.DataFrame) -> DataFrame:
-        """postings → (term_id, doc_id, tf, dl, positions) for phrase matching."""
+        """postings → (term_id, doc_id, tf, dl, positions) for phrase matching.
+
+        Arrow-native: the per-doc position lists are emitted as ONE ListArray
+        built from (offsets = cumsum(tf), values = vectorized varint decode) —
+        no Python list objects, so stop-word phrases decode at memory speed.
+        """
         term_ids = [int(t) for t in tinfo["term_id"]]
         blocks = self.postings.filter(F.col("term_id").isin(term_ids)).select(
             "term_id", "first_doc_id", "doc_gaps", "tfs", "dls", "positions"
         )
 
-        def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            for pdf in batches:
-                out = []
-                for row in pdf.itertuples():
-                    d, t, l = codecs.decode_block({
-                        "first_doc_id": row.first_doc_id,
-                        "doc_gaps": row.doc_gaps,
-                        "tfs": row.tfs,
-                        "dls": row.dls,
-                    })
-                    flat = codecs.decode_positions(row.positions, t)
-                    bounds = np.concatenate(([0], np.cumsum(t)))
-                    plists = [
-                        flat[bounds[i]:bounds[i + 1]].tolist() for i in range(len(d))
-                    ]
-                    out.append(pd.DataFrame({
-                        "term_id": np.full(len(d), row.term_id, dtype="int64"),
-                        "doc_id": d,
-                        "tf": t.astype("int32"),
-                        "dl": l.astype("int32"),
-                        "positions": plists,
-                    }))
-                if out:
-                    yield pd.concat(out, ignore_index=True)
+        def decode(batches):
+            import pyarrow as pa
 
-        return blocks.mapInPandas(decode, schema=_DECODED_POS_SCHEMA)
+            for rb in batches:
+                names = {n: i for i, n in enumerate(rb.schema.names)}
+                tid_col = rb.column(names["term_id"]).to_numpy(zero_copy_only=False)
+                first_col = rb.column(names["first_doc_id"]).to_numpy(zero_copy_only=False)
+                gaps_col = rb.column(names["doc_gaps"])
+                tfs_col = rb.column(names["tfs"])
+                dls_col = rb.column(names["dls"])
+                pos_col = rb.column(names["positions"])
+                tids, docs, tfs_a, dls_a, vals = [], [], [], [], []
+                for i in range(rb.num_rows):
+                    d, t, l = codecs.decode_block({
+                        "first_doc_id": int(first_col[i]),
+                        "doc_gaps": gaps_col[i].as_py(),
+                        "tfs": tfs_col[i].as_py(),
+                        "dls": dls_col[i].as_py(),
+                    })
+                    vals.append(codecs.decode_positions(pos_col[i].as_py(), t))
+                    tids.append(np.full(len(d), tid_col[i], dtype="int64"))
+                    docs.append(d)
+                    tfs_a.append(t)
+                    dls_a.append(l)
+                if not docs:
+                    continue
+                tf_all = np.concatenate(tfs_a)
+                offsets = np.concatenate(([0], np.cumsum(tf_all))).astype("int32")
+                positions = pa.ListArray.from_arrays(
+                    pa.array(offsets), pa.array(np.concatenate(vals), pa.int64())
+                )
+                yield pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(np.concatenate(tids), pa.int64()),
+                        pa.array(np.concatenate(docs), pa.int64()),
+                        pa.array(tf_all.astype("int32"), pa.int32()),
+                        pa.array(np.concatenate(dls_a).astype("int32"), pa.int32()),
+                        positions,
+                    ],
+                    names=["term_id", "doc_id", "tf", "dl", "positions"],
+                )
+
+        return blocks.mapInArrow(decode, schema=_DECODED_POS_SCHEMA)
 
     # -------------------------------------------------------------- query --
     def score_or(self, terms: list[str], k: int | None = None) -> DataFrame:

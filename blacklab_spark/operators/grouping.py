@@ -120,6 +120,55 @@ def kwic(docs: DataFrame, term: str, context: int = 2) -> DataFrame:
     )
 
 
+def sort_hits_by_context(
+    docs: DataFrame, term: str, offset: int = 1, limit: int | None = None
+) -> DataFrame:
+    """Hits sorted by a context-word property (HitPropertyAfterHit /
+    HitPropertyBeforeHit analogs, /root/reference/engine/src/main/java/nl/inl/
+    blacklab/resultproperty/HitPropertyAfterHit.java): the sort key is the
+    token `offset` positions right (negative = left) of the hit, read from
+    the forward index (tokens column). Fully specified order for determinism
+    (context asc, doc_id, pos) — the reference pins sort the same way in its
+    golden tests (/root/reference/test/test/hits.js:34)."""
+    h = hits(docs, term)
+    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    idx = F.col("pos") + 1 + offset  # 1-based
+    # NULL past either edge; Spark rejects index 0 even in try_element_at
+    ctx = F.when(idx >= 1, F.try_element_at("tokens", idx)).otherwise(F.lit(None))
+    out = (
+        joined.select(
+            "doc_id", "pos", F.coalesce(ctx, F.lit("")).alias("context")
+        )
+        .orderBy(F.asc("context"), F.asc("doc_id"), F.asc("pos"))
+    )
+    return out.limit(limit) if limit else out
+
+
+def doc_results(docs: DataFrame, term: str, max_stored: int = 3) -> DataFrame:
+    """Per-document hit grouping (DocResults.fromHits analog,
+    /root/reference/engine/.../search/results/docs/DocResults.java:146):
+    (doc_id, n_hits, first_positions[:max_stored])."""
+    h = hits(docs, term)
+    return (
+        h.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_hits"),
+            F.slice(F.sort_array(F.collect_list("pos")), 1, max_stored).alias("first_positions"),
+        )
+    )
+
+
+def autocomplete(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+    """Term autocompletion (BLS /autocomplete analog): prefix-matching terms
+    by collection frequency desc, term asc."""
+    return (
+        term_dict.filter(F.col("term").startswith(prefix))
+        .select("term", "cf")
+        .orderBy(F.desc("cf"), F.asc("term"))
+        .limit(k)
+    )
+
+
 def sample_deterministic(df: DataFrame, id_col: str, rate_num: int, rate_den: int) -> DataFrame:
     """Reproducible sample: keep rows where (id * 2654435761) mod 2^32 falls
     below rate. Knuth multiplicative hash — identical result at any

@@ -24,6 +24,8 @@ def norm_cell(v):
         if math.isnan(v):
             return "nan"
         return round(v, 9)
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return tuple(norm_cell(x) for x in v)
     return v
 
 

@@ -64,6 +64,22 @@ def test_group_hits_by_meta(docs):
     assert got == {"en": (4, 2), "de": (2, 1)}
 
 
+def test_hit_sort_docresults_autocomplete(spark, docs):
+    got = [(r["doc_id"], r["pos"], r["context"]) for r in
+           grouping.sort_hits_by_context(docs, "the", offset=1).collect()]
+    # sort key = following word, fully specified order
+    assert got == sorted(got, key=lambda x: (x[2], x[0], x[1]))
+    assert ("lazy" in {c for _, _, c in got}) and ("quick" in {c for _, _, c in got})
+    dr = {r["doc_id"]: (r["n_hits"], list(r["first_positions"])) for r in
+          grouping.doc_results(docs, "the", max_stored=2).collect()}
+    assert dr[0] == (2, [0, 6])
+    td = spark.createDataFrame(
+        pd.DataFrame({"term": ["the", "then", "dog", "than"], "cf": [10, 3, 2, 3]})
+    )
+    ac = [r["term"] for r in grouping.autocomplete(td, "th", k=2).collect()]
+    assert ac == ["the", "than"]  # cf desc, term asc tie-break
+
+
 def test_sample_and_window(docs):
     s1 = {r["doc_id"] for r in grouping.sample_deterministic(docs, "doc_id", 1, 2).collect()}
     s2 = {r["doc_id"] for r in grouping.sample_deterministic(docs, "doc_id", 1, 2).collect()}
