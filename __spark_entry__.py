@@ -299,6 +299,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "event_type", "n", F.round("total_value", 3).alias("total_value"),
         )
 
+    def ngram_freq(spark, sf_dir):
+        docs = _tokenized_docs(spark, sf_dir)
+        return grouping.ngram_frequencies(docs, n=2, meta_col="lang")
+
+    def sessionization(spark, sf_dir):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return grouping.sessionize(ev, gap_minutes=30)
+
     def hits_sorted_by_after(spark, sf_dir):
         docs = _tokenized_docs(spark, sf_dir)
         return grouping.sort_hits_by_context(docs, TERM, offset=1, limit=25)
@@ -375,6 +383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id": lang_id,
         "fingerprint": fingerprint,
         "events_hourly": events_hourly,
+        "ngram_freq": ngram_freq,
+        "sessionization": sessionization,
         "hits_sorted_by_after": hits_sorted_by_after,
         "doc_results": doc_results,
         "autocomplete": autocomplete,
@@ -587,6 +597,38 @@ FROM documents d LEFT JOIN f ON f.id = d.doc_id
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start_epoch,
        event_type, count(*) AS n, round(sum(value), 3) AS total_value
 FROM events GROUP BY 1, 2
+""",
+        "ngram_freq": f"""
+WITH t AS (
+  SELECT doc_id, lang, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM documents
+),
+u AS (
+  SELECT lang, unnest(range(1, greatest(len(toks) - 1, 0) + 1)) AS i, toks
+  FROM t
+)
+SELECT array_to_string(toks[i:i + 1], ' ') AS ngram, lang, count(*) AS freq
+FROM u GROUP BY 1, 2
+""",
+        "sessionization": """
+WITH m AS (
+  -- floor() to whole seconds: Spark's unix_timestamp truncates, DuckDB's
+  -- ::BIGINT rounds — both sides must floor for parity
+  SELECT user_id, ts,
+         CASE WHEN floor(epoch(ts)) - floor(epoch(lag(ts) OVER (PARTITION BY user_id ORDER BY ts)))
+                   >= 30 * 60 THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+s AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m
+)
+SELECT user_id, session_id, count(*) AS n_events,
+       floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
+       floor(epoch(max(ts)))::BIGINT AS session_end_epoch
+FROM s GROUP BY user_id, session_id
 """,
         "hits_sorted_by_after": f"""
 WITH {_POS_CTES}

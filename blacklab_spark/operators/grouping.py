@@ -169,6 +169,53 @@ def autocomplete(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     )
 
 
+def ngram_frequencies(docs: DataFrame, n: int = 2, meta_col: str | None = None) -> DataFrame:
+    """Batch n-gram frequency lists (FrequencyTool analog, /root/reference/
+    tools/src/main/java/nl/inl/blacklab/tools/frequency/FrequencyTool.java:60-64):
+    word n-grams (joined with spaces), optionally crossed with a doc metadata
+    column. Built-in transform+slice — no Python."""
+    k = F.size("tokens") - (n - 1)
+    grams = F.when(
+        k >= 1,
+        F.transform(
+            F.sequence(F.lit(1), k),
+            lambda i: F.concat_ws(" ", F.slice("tokens", i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    cols = ["ngram"] + ([meta_col] if meta_col else [])
+    base = docs.select(
+        *( [F.col(meta_col)] if meta_col else [] ), F.explode(grams).alias("ngram")
+    )
+    return base.groupBy(*cols).agg(F.count("*").alias("freq"))
+
+
+def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
+               gap_minutes: int = 30) -> DataFrame:
+    """Sessionization: per-user sessions split at inactivity gaps >= gap.
+    Window lag + cumulative sum of gap indicators — the batch equivalent of
+    streaming session_window(ts, gap). Returns (user, session_id, n_events,
+    session_start_epoch, session_end_epoch)."""
+    w = Window.partitionBy(user_col).orderBy(ts_col)
+    marked = events.withColumn(
+        "_new",
+        F.when(
+            F.unix_timestamp(ts_col)
+            - F.unix_timestamp(F.lag(ts_col).over(w)) >= gap_minutes * 60,
+            1,
+        ).otherwise(0),
+    ).withColumn("session_id", F.sum("_new").over(
+        w.rowsBetween(Window.unboundedPreceding, 0)
+    ))
+    return (
+        marked.groupBy(F.col(user_col).alias("user_id"), "session_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.unix_timestamp(F.min(ts_col)).alias("session_start_epoch"),
+            F.unix_timestamp(F.max(ts_col)).alias("session_end_epoch"),
+        )
+    )
+
+
 def sample_deterministic(df: DataFrame, id_col: str, rate_num: int, rate_den: int) -> DataFrame:
     """Reproducible sample: keep rows where (id * 2654435761) mod 2^32 falls
     below rate. Knuth multiplicative hash — identical result at any
