@@ -141,6 +141,26 @@ SELECT doc_id, round(score, 4) AS score FROM scored {limit}
 """
 
 
+def _bm25_and_sql(terms: list[str]) -> str:
+    tlist = ", ".join("'" + t + "'" for t in sorted(set(terms)))
+    m = len(set(terms))
+    return f"""
+WITH {_BASE_CTES},
+tf AS (
+  SELECT doc_id, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({tlist}) GROUP BY doc_id, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.doc_id, tf.term, ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats s
+)
+SELECT doc_id, round(sum(c), 4) AS score FROM contrib
+GROUP BY doc_id HAVING count(DISTINCT term) = {m}
+"""
+
+
 def _bm25_phrase_sql(phrase: list[str], k: int) -> str:
     tlist = ", ".join("'" + t + "'" for t in sorted(set(phrase)))
     conds = " AND ".join(
@@ -203,6 +223,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def bm25_or_scores(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         out = _orig_ids(c, c.score_or(OR_TERMS))
+        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+    def bm25_and_scores(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = _orig_ids(c, c.score_and(OR_TERMS))
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     def bm25_phrase(spark, sf_dir):
@@ -363,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_topk_term": bm25_topk_term,
         "bm25_topk_or": bm25_topk_or,
         "bm25_or_scores": bm25_or_scores,
+        "bm25_and_scores": bm25_and_scores,
         "bm25_phrase": bm25_phrase,
         "term_dict": term_dict,
         "doc_lengths": doc_lengths,
@@ -428,6 +454,7 @@ def oracle_sql() -> dict[str, str]:
         "bm25_topk_term": _bm25_or_sql([TERM], K),
         "bm25_topk_or": _bm25_or_sql(OR_TERMS, K),
         "bm25_or_scores": _bm25_or_sql(OR_TERMS, None),
+        "bm25_and_scores": _bm25_and_sql(OR_TERMS),
         "bm25_phrase": _bm25_phrase_sql(PHRASE, K),
         "term_dict": f"""
 WITH {_BASE_CTES}

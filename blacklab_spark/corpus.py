@@ -41,7 +41,7 @@ from pyspark.sql import types as T
 
 from blacklab_spark import codecs, scoring
 from blacklab_spark.build import IndexPaths
-from blacklab_spark.plans.parser import OrQuery, PhraseQuery, parse_query
+from blacklab_spark.plans.parser import AndQuery, OrQuery, PhraseQuery, parse_query
 
 _DECODED_SCHEMA = "term_id long, doc_id long, contrib double"
 _DECODED_POS_SCHEMA = (
@@ -278,6 +278,37 @@ class Corpus:
             .limit(k)
         )
 
+    def score_and(self, terms: list[str]) -> DataFrame:
+        """Conjunctive BooleanQuery (all MUST clauses): only docs containing
+        EVERY query term, scored as the same per-term BM25 sum. Token-level
+        AND-semantics analog of SpanQueryAnd at the doc level."""
+        uniq = sorted(set(terms))
+        tinfo = self.lookup_terms(uniq)
+        if len(tinfo) < len(uniq):  # a missing term empties the conjunction
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        decoded = self._decoded_scores(tinfo)
+        return (
+            decoded.groupBy("doc_id")
+            .agg(
+                F.countDistinct("term_id").alias("_nt"),
+                F.array_sort(F.collect_list(F.struct("term_id", "contrib"))).alias("cs"),
+            )
+            .filter(F.col("_nt") == F.lit(len(uniq)))
+            .select(
+                "doc_id",
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+                ).alias("score"),
+            )
+        )
+
+    def search_and(self, terms: list[str], k: int = 10) -> DataFrame:
+        return (
+            self.score_and(terms)
+            .orderBy(F.desc("score"), F.asc("doc_id"))
+            .limit(k)
+        )
+
     def score_phrase(self, terms: list[str]) -> DataFrame:
         """Exact adjacent phrase (SpansSequence analog, /root/reference/engine/
         src/main/java/nl/inl/blacklab/search/lucene/SpanQuerySequence.java):
@@ -350,11 +381,13 @@ class Corpus:
         q = parse_query(query)
         if isinstance(q, PhraseQuery):
             return self.search_phrase(q.terms, k=k)
-        assert isinstance(q, OrQuery)
+        assert isinstance(q, (OrQuery, AndQuery))
         terms: list[str] = []
         for t in q.terms:
             if t.regex:
                 terms.extend(self.expand_pattern(t.pattern))
             else:
                 terms.append(t.pattern)
+        if isinstance(q, AndQuery):
+            return self.search_and(terms, k=k)
         return self.search_or(terms, k=k)

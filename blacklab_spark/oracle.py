@@ -88,6 +88,23 @@ def topk_term(idx: OracleIndex, term: str, k: int) -> list[tuple[int, float]]:
     return topk_or(idx, [term], k)
 
 
+def topk_and(idx: OracleIndex, terms: list[str], k: int) -> list[tuple[int, float]]:
+    """Conjunctive BooleanQuery (all MUST): docs containing every term."""
+    uniq = sorted(set(terms))
+    if not uniq or any(idx.df(t) == 0 for t in uniq):
+        return []
+    docs = set(idx.postings[uniq[0]])
+    for t in uniq[1:]:
+        docs &= set(idx.postings[t])
+    acc: dict[int, np.float64] = {}
+    for t in uniq:  # same ascending-term summation order as topk_or
+        for doc_id, s in _term_scores(idx, t).items():
+            if doc_id in docs:
+                acc[doc_id] = acc.get(doc_id, np.float64(0.0)) + s
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(d, float(s)) for d, s in ranked[:k]]
+
+
 def phrase_freqs(idx: OracleIndex, terms: list[str]) -> dict[int, int]:
     """Exact adjacent-phrase frequency per doc (positions intersect, gap=1)."""
     if not terms:

@@ -35,16 +35,25 @@ class OrQuery:
 
 
 @dataclass(frozen=True)
+class AndQuery:
+    terms: list[TermAtom]
+
+
+@dataclass(frozen=True)
 class PhraseQuery:
     terms: list[str]
 
 
-def parse_query(query: str) -> OrQuery | PhraseQuery:
+def parse_query(query: str) -> OrQuery | AndQuery | PhraseQuery:
     q = query.strip()
     if len(q) >= 2 and q.startswith('"') and q.endswith('"'):
         return PhraseQuery(tokenize(q[1:-1]))
     atoms: list[TermAtom] = []
+    conjunctive = False
     for part in q.split():
+        if part.startswith("+") and len(part) > 1:  # +term → MUST clause
+            conjunctive = True
+            part = part[1:]
         if len(part) >= 2 and part.startswith("/") and part.endswith("/"):
             atoms.append(TermAtom(part[1:-1], regex=True))
         elif part.endswith("*") and len(part) > 1:
@@ -53,4 +62,4 @@ def parse_query(query: str) -> OrQuery | PhraseQuery:
         else:
             toks = tokenize(part)
             atoms.extend(TermAtom(t) for t in toks)
-    return OrQuery(atoms)
+    return AndQuery(atoms) if conjunctive else OrQuery(atoms)

@@ -175,6 +175,21 @@ def test_regex_expansion(small):
     assert expanded == expect
 
 
+def test_and_query_parity(fixture_idx):
+    c, oi = fixture_idx
+    got = rows(c.search_and(["quick", "dog"], k=10))
+    assert got == orc.topk_and(oi, ["quick", "dog"], 10)
+    assert [d for d, _ in got] == [0, 5]
+    # 'the' appears in 4 docs, 'question' only in doc 3 → AND = doc 3 only
+    got = rows(c.search_and(["the", "question"], k=10))
+    assert got == orc.topk_and(oi, ["the", "question"], 10)
+    assert [d for d, _ in got] == [3]
+    assert rows(c.search_and(["quick", "zzzabsent"], k=10)) == []
+    # parser: +term syntax switches to conjunctive mode
+    got = rows(c.search("+the +question", k=10))
+    assert got == orc.topk_and(oi, ["the", "question"], 10)
+
+
 def test_query_string_api(fixture_idx):
     c, oi = fixture_idx
     got = rows(c.search('"quick brown"', k=5))
