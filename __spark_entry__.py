@@ -338,7 +338,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def doc_results(spark, sf_dir):
         docs = _tokenized_docs(spark, sf_dir)
-        return grouping.doc_results(docs, TERM, max_stored=3)
+        out = grouping.doc_results(docs, TERM, max_stored=3)
+        # array cells crash the driver's row canonicalizer — ship a CSV string
+        return out.select(
+            "doc_id", "n_hits",
+            F.concat_ws(",", F.col("first_positions").cast("array<string>"))
+            .alias("first_positions"),
+        )
 
     def autocomplete(spark, sf_dir):
         c = _corpus(spark, sf_dir)
@@ -472,7 +478,7 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term
         "hits_by_lang": f"""
 WITH {_BASE_CTES},
 h AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{TERM}' GROUP BY doc_id)
-SELECT d.lang, sum(h.tf) AS n_hits, count(*) AS n_docs
+SELECT d.lang, sum(h.tf)::BIGINT AS n_hits, count(*) AS n_docs
 FROM h JOIN documents d USING (doc_id) GROUP BY d.lang
 """,
         "collocations": f"""
@@ -647,9 +653,10 @@ WITH m AS (
   FROM events
 ),
 s AS (
+  -- ::BIGINT: DuckDB sum(INT) is HUGEINT, which pandas-hashes differently
   SELECT user_id, ts,
-         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
-                          ROWS UNBOUNDED PRECEDING) AS session_id
+         (sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING))::BIGINT AS session_id
   FROM m
 )
 SELECT user_id, session_id, count(*) AS n_events,
@@ -668,7 +675,8 @@ ORDER BY context ASC, doc_id ASC, pos ASC LIMIT 25
 WITH {_POS_CTES},
 h AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tok = '{TERM}')
 SELECT doc_id, count(*) AS n_hits,
-       (list(p ORDER BY p))[1:3] AS first_positions
+       array_to_string(list_transform((list(p ORDER BY p))[1:3], x -> x::VARCHAR),
+                       ',') AS first_positions
 FROM h GROUP BY doc_id
 """,
         "autocomplete": f"""

@@ -51,6 +51,9 @@ _DECODED_POS_SCHEMA = (
 
 class Corpus:
     def __init__(self, spark: SparkSession, path: str):
+        from blacklab_spark.incremental import recover_pending
+
+        recover_pending(path)  # resolve any torn add_to_index before reading
         self.spark = spark
         self.paths = IndexPaths(path)
         with open(self.paths.meta) as f:
@@ -116,9 +119,12 @@ class Corpus:
 
     def expand_pattern(self, regex: str, max_terms: int = 1024) -> list[str]:
         """Regex → concrete terms via the term dictionary (the reference's
-        TextPatternRegex/BLSpanMultiTermQueryWrapper rewrite, SURVEY.md §2.2)."""
+        TextPatternRegex/BLSpanMultiTermQueryWrapper rewrite, SURVEY.md §2.2).
+
+        Anchored like Lucene RegexpQuery: the pattern must match the ENTIRE
+        term (rlike alone is substring search — /cat/ would hit 'concatenate')."""
         rows = (
-            self.term_dict.filter(F.col("term").rlike(regex))
+            self.term_dict.filter(F.col("term").rlike("^(?:" + regex + ")$"))
             .select("term").limit(max_terms).collect()
         )
         return sorted(r["term"] for r in rows)
@@ -249,6 +255,16 @@ class Corpus:
         return blocks.mapInArrow(decode, schema=_DECODED_POS_SCHEMA)
 
     # -------------------------------------------------------------- query --
+    @staticmethod
+    def _term_order_map(tinfo: pd.DataFrame):
+        """term_id → rank of the term STRING among the query terms. The fold
+        order contract is ascending term string; after an incremental append
+        term_id order can diverge from string order (new terms get ids above
+        the old max), so the sort key must be the string rank, not term_id."""
+        ordered = tinfo.sort_values("term").itertuples()
+        kv = [(int(r.term_id), i) for i, r in enumerate(ordered)]
+        return F.create_map(*[F.lit(x) for pair in kv for x in pair])
+
     def score_or(self, terms: list[str], k: int | None = None) -> DataFrame:
         """Multi-term OR (BooleanQuery SHOULD): per-doc sum of BM25 in
         ascending-term order. Returns all matching docs: (doc_id, score)."""
@@ -258,11 +274,12 @@ class Corpus:
         decoded = self._decoded_scores(tinfo, k_hint=k if len(tinfo) == 1 else None)
         if len(tinfo) == 1:
             return decoded.select("doc_id", F.col("contrib").alias("score"))
-        # deterministic fold: sort contribution structs by term_id (== term
-        # string order) and left-fold — fixed float64 summation order
+        # deterministic fold: sort contribution structs by term-string rank
+        # and left-fold — fixed float64 summation order (oracle-identical)
+        t_ord = self._term_order_map(tinfo)[F.col("term_id")]
         return (
             decoded.groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct("term_id", "contrib"))).alias("cs"))
+            .agg(F.array_sort(F.collect_list(F.struct(t_ord.alias("t_ord"), "contrib"))).alias("cs"))
             .select(
                 "doc_id",
                 F.aggregate(
@@ -287,13 +304,59 @@ class Corpus:
         if len(tinfo) < len(uniq):  # a missing term empties the conjunction
             return self.spark.createDataFrame([], "doc_id long, score double")
         decoded = self._decoded_scores(tinfo)
+        t_ord = self._term_order_map(tinfo)[F.col("term_id")]
         return (
             decoded.groupBy("doc_id")
             .agg(
                 F.countDistinct("term_id").alias("_nt"),
-                F.array_sort(F.collect_list(F.struct("term_id", "contrib"))).alias("cs"),
+                F.array_sort(F.collect_list(F.struct(t_ord.alias("t_ord"), "contrib"))).alias("cs"),
             )
             .filter(F.col("_nt") == F.lit(len(uniq)))
+            .select(
+                "doc_id",
+                F.aggregate(
+                    "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
+                ).alias("score"),
+            )
+        )
+
+    def score_and_groups(self, groups: list[list[str]]) -> DataFrame:
+        """Conjunction of OR-groups — a BooleanQuery whose MUST clauses may be
+        multi-term expansions (wildcard/regex atoms). A doc must match ≥1 term
+        of EVERY group; the score sums the BM25 of every (group, matched-term)
+        pair, so a term shared by two clauses contributes once per clause —
+        Lucene's per-clause scoring, vs round-1's wrong flat-MUST flattening
+        (each expansion term was its own MUST clause)."""
+        empty = self.spark.createDataFrame([], "doc_id long, score double")
+        if not groups:
+            return empty
+        flat = sorted({t for g in groups for t in g})
+        tinfo = self.lookup_terms(flat)
+        present = set(tinfo["term"])
+        resolved = [sorted(set(g) & present) for g in groups]
+        if any(not g for g in resolved):  # an empty clause empties the AND
+            return empty
+        if all(len(g) == 1 for g in resolved):
+            seen = {g[0] for g in resolved}
+            if len(seen) == len(resolved):  # plain term conjunction
+                return self.score_and(sorted(seen))
+        tid = {r.term: int(r.term_id) for r in tinfo.itertuples()}
+        used = sorted({t for g in resolved for t in g})
+        pairs = [(tid[t], gi) for gi, g in enumerate(resolved) for t in g]
+        memb = self.spark.createDataFrame(pairs, "term_id long, gid int")
+        decoded = self._decoded_scores(tinfo[tinfo["term"].isin(used)])
+        t_ord = self._term_order_map(tinfo)[F.col("term_id")]
+        # fold order: (gid, term string rank) — fixed float64 summation order
+        return (
+            decoded.join(F.broadcast(memb), "term_id")
+            .groupBy("doc_id")
+            .agg(
+                F.countDistinct("gid").alias("_ng"),
+                F.array_sort(
+                    F.collect_list(F.struct("gid", t_ord.alias("t_ord"), "contrib"))
+                ).alias("cs"),
+            )
+            .filter(F.col("_ng") == F.lit(len(groups)))
             .select(
                 "doc_id",
                 F.aggregate(
@@ -382,12 +445,16 @@ class Corpus:
         if isinstance(q, PhraseQuery):
             return self.search_phrase(q.terms, k=k)
         assert isinstance(q, (OrQuery, AndQuery))
-        terms: list[str] = []
+        # each atom is ONE clause; a wildcard/regex atom expands to a
+        # multi-term clause (Lucene BooleanQuery semantics: the expansion is
+        # OR-ed inside the clause, not flattened into sibling MUST clauses)
+        clauses: list[list[str]] = []
         for t in q.terms:
-            if t.regex:
-                terms.extend(self.expand_pattern(t.pattern))
-            else:
-                terms.append(t.pattern)
+            clauses.append(self.expand_pattern(t.pattern) if t.regex else [t.pattern])
         if isinstance(q, AndQuery):
-            return self.search_and(terms, k=k)
-        return self.search_or(terms, k=k)
+            return (
+                self.score_and_groups(clauses)
+                .orderBy(F.desc("score"), F.asc("doc_id"))
+                .limit(k)
+            )
+        return self.search_or([t for c in clauses for t in c], k=k)

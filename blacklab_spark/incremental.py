@@ -19,6 +19,11 @@ Design:
     so meta["bounds_stale"]=True disables block-max WAND pruning until
     compact_index() rebuilds postings from the docs table (full stats) and
     clears the flag — exactly Lucene's "bounds are per-segment until merge".
+  * Crash safety (Lucene's atomic segments_N commit analog): every output is
+    staged OUTSIDE the live dirs first; a _pending_append.json marker records
+    exactly which part files will be moved; the meta rewrite is the commit
+    point. recover_pending() rolls a torn append back (marker present, meta
+    old) or finishes its cleanup (marker present, meta new).
 """
 
 from __future__ import annotations
@@ -34,13 +39,60 @@ from pyspark.sql import functions as F
 from blacklab_spark.build import IndexPaths, build_index, _mark_stage
 
 SEGMENT_BLOCK_BASE = 1 << 44  # block_no high bits per segment
+PENDING_MARKER = "_pending_append.json"
+TD_OLD = "_term_dict_old"
+
+
+def recover_pending(path: str) -> bool:
+    """Detect and resolve a partially-applied add_to_index.
+
+    Returns True if anything was repaired. If the new meta was written (the
+    commit point) the append is rolled FORWARD (cleanup only); otherwise it is
+    rolled BACK: moved delta part files are deleted from the live dirs and the
+    old term dictionary is restored, leaving the pre-append index intact.
+    """
+    marker = os.path.join(path, PENDING_MARKER)
+    if not os.path.exists(marker):
+        return False
+    with open(marker) as f:
+        info = json.load(f)
+    paths = IndexPaths(path)
+    with open(paths.meta) as f:
+        meta = json.load(f)
+    td_old = os.path.join(path, TD_OLD)
+    committed = meta.get("n_segments", 1) == info["new_n_segments"]
+    if committed:
+        shutil.rmtree(td_old, ignore_errors=True)
+    else:
+        for sub, names in info["moved"].items():
+            live = os.path.join(path, sub)
+            for nm in names:
+                p = os.path.join(live, nm)
+                if os.path.exists(p):
+                    os.remove(p)
+        if os.path.exists(td_old):
+            shutil.rmtree(paths.term_dict, ignore_errors=True)
+            os.rename(td_old, paths.term_dict)
+    for d in info["staging"]:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    os.remove(marker)
+    return True
+
+
+def _part_files(directory: str) -> list[str]:
+    return sorted(
+        nm for nm in os.listdir(directory)
+        if nm.startswith("part-") and not nm.endswith(".crc")
+    )
 
 
 def add_to_index(
     spark: SparkSession,
     new_transcripts: DataFrame,
     path: str,
+    _fail_point: str | None = None,
 ) -> IndexPaths:
+    recover_pending(path)
     paths = IndexPaths(path)
     with open(paths.meta) as f:
         meta = json.load(f)
@@ -48,27 +100,37 @@ def add_to_index(
     n_terms_old = meta["n_terms"]
     segment = meta.get("n_segments", 1)
 
-    # Build the delta as a standalone mini-index in a staging dir (reuses the
-    # whole build pipeline: same tokenizer, salting, codecs).
-    staging = os.path.join(path, f"_segment_{segment}")
+    def _fail(point: str) -> None:
+        if _fail_point == point:
+            raise RuntimeError(f"injected failure at {point}")
+
+    # ---- stage 1: build the delta as a standalone mini-index ---------------
+    # (reuses the whole build pipeline: same tokenizer, salting, codecs)
+    staging = f"_segment_{segment}"
     build_index(
-        spark, new_transcripts, staging,
+        spark, new_transcripts, os.path.join(path, staging),
         doc_key=tuple(meta.get("doc_key", ["conv_id", "turn_idx"])),
         block_size=meta["block_size"],
         salt_df_threshold=meta["salt_df_threshold"],
         docs_per_salt=meta["docs_per_salt"],
     )
-    s = IndexPaths(staging)
+    s = IndexPaths(os.path.join(path, staging))
     with open(s.meta) as f:
         smeta = json.load(f)
 
-    # ---- docs: shift docIDs by n_old, append --------------------------------
-    sdocs = spark.read.parquet(s.docs).withColumn(
-        "doc_id", F.col("doc_id") + F.lit(n_old)
-    )
-    sdocs.write.mode("append").parquet(paths.docs)
+    # ---- stage 2: stage every output OUTSIDE the live dirs ------------------
+    docs_delta = "_docs_delta"
+    postings_delta = "_postings_delta"
+    td_merged = "_term_dict_merged"
+    td_new = "_term_dict_new"
+    staging_dirs = [staging, docs_delta, postings_delta, td_merged, td_new]
 
-    # ---- term_dict merge ----------------------------------------------------
+    # docs: shift docIDs by n_old
+    spark.read.parquet(s.docs).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(n_old)
+    ).write.mode("overwrite").parquet(os.path.join(path, docs_delta))
+
+    # term_dict merge: df/cf summed; new terms get dense ids above the old max
     old_td = spark.read.parquet(paths.term_dict)
     delta_td = spark.read.parquet(s.term_dict).select(
         "term",
@@ -77,7 +139,6 @@ def add_to_index(
         F.col("cf").alias("d_cf"),
     )
     joined = old_td.join(delta_td, "term", "full_outer")
-    # new terms: dense ids above the old max, ranked by term string
     from pyspark.sql import Window
     new_terms = joined.filter(F.col("term_id").isNull())
     w = Window.orderBy("term")  # new-vocab cardinality is delta-sized; fine
@@ -95,18 +156,21 @@ def add_to_index(
             F.col("d_term_id"),
         )
     )
-    # MATERIALIZE the merged dict before touching any source directory —
-    # everything below derives from the written copy, not the lazy lineage
-    tmp_td = os.path.join(path, "_term_dict_new")
-    merged.write.mode("overwrite").parquet(tmp_td)
-    merged_w = spark.read.parquet(tmp_td)
+    # MATERIALIZE the merged dict before deriving from it — everything below
+    # reads the written copy, not the lazy lineage
+    merged.write.mode("overwrite").parquet(os.path.join(path, td_merged))
+    merged_w = spark.read.parquet(os.path.join(path, td_merged))
+    merged_w.drop("d_term_id").write.mode("overwrite").parquet(
+        os.path.join(path, td_new)
+    )
+    n_terms_new = merged_w.count()
 
-    # ---- postings: remap delta term_ids -> merged ids, shift docs + blocks --
+    # postings: remap delta term_ids -> merged ids, shift docs + blocks
     id_map = merged_w.filter(F.col("d_term_id").isNotNull()).select(
         F.col("d_term_id"), F.col("term_id").alias("new_term_id")
     )
     sp = spark.read.parquet(s.postings)
-    remapped = (
+    (
         sp.join(F.broadcast(id_map), sp["term_id"] == id_map["d_term_id"])
         .select(
             F.col("new_term_id").alias("term_id"),
@@ -116,17 +180,36 @@ def add_to_index(
             "num_docs", "doc_gaps", "tfs", "dls", "positions",
             "block_max_tf", "block_max_score",
         )
+        .write.mode("overwrite").parquet(os.path.join(path, postings_delta))
     )
-    remapped.write.mode("append").parquet(paths.postings)
-    n_terms_new = merged_w.count()
 
-    # ---- swap term_dict, update meta ---------------------------------------
-    final_td = os.path.join(path, "_term_dict_final")
-    merged_w.drop("d_term_id").write.mode("overwrite").parquet(final_td)
-    shutil.rmtree(paths.term_dict)
-    os.rename(final_td, paths.term_dict)
-    shutil.rmtree(tmp_td)
+    # ---- stage 3: marker, then mutate live dirs -----------------------------
+    moved = {
+        "docs": _part_files(os.path.join(path, docs_delta)),
+        "postings": _part_files(os.path.join(path, postings_delta)),
+    }
+    marker = os.path.join(path, PENDING_MARKER)
+    with open(marker, "w") as f:
+        json.dump(
+            {"new_n_segments": segment + 1, "moved": moved, "staging": staging_dirs},
+            f, indent=2,
+        )
+    _fail("after_marker")
 
+    for sub, delta in (("docs", docs_delta), ("postings", postings_delta)):
+        live = os.path.join(path, sub)
+        for i, nm in enumerate(moved[sub]):
+            os.rename(os.path.join(path, delta, nm), os.path.join(live, nm))
+            if i == 0:
+                _fail(f"mid_move_{sub}")
+
+    td_old = os.path.join(path, TD_OLD)
+    os.rename(paths.term_dict, td_old)
+    _fail("mid_swap")
+    os.rename(os.path.join(path, td_new), paths.term_dict)
+    staging_dirs.remove(td_new)
+
+    # ---- commit point: the meta rewrite -------------------------------------
     meta["n_docs"] = n_old + smeta["n_docs"]
     meta["total_tokens"] = meta["total_tokens"] + smeta["total_tokens"]
     meta["avgdl"] = float(meta["total_tokens"]) / float(meta["n_docs"])
@@ -135,8 +218,14 @@ def add_to_index(
     meta["bounds_stale"] = True  # block_max_score no longer an upper bound
     with open(paths.meta, "w") as f:
         json.dump(meta, f, indent=2)
+    _fail("after_commit")
+
+    # ---- cleanup -------------------------------------------------------------
     _mark_stage(paths, f"segment_{segment}", time.time(), docs_added=smeta["n_docs"])
-    shutil.rmtree(staging)
+    shutil.rmtree(td_old, ignore_errors=True)
+    for d in staging_dirs:
+        shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+    os.remove(marker)
     return paths
 
 

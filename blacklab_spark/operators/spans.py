@@ -146,9 +146,8 @@ def repetition(base: DataFrame, min_rep: int, max_rep: int) -> DataFrame:
     results = []
     cur = base.select(*SPAN_COLS)
     for n in range(1, max_rep + 1):
-        if n >= min_rep + 0:
-            if n >= min_rep:
-                results.append(cur)
+        if n >= min_rep:
+            results.append(cur)
         if n < max_rep:
             cur = sequence(cur, base, 0, 0)
     out = results[0]

@@ -105,6 +105,29 @@ def topk_and(idx: OracleIndex, terms: list[str], k: int) -> list[tuple[int, floa
     return [(d, float(s)) for d, s in ranked[:k]]
 
 
+def topk_and_groups(
+    idx: OracleIndex, groups: list[list[str]], k: int
+) -> list[tuple[int, float]]:
+    """Conjunction of OR-groups (a BooleanQuery whose MUST clauses are
+    multi-term expansions): doc must match ≥1 term of every group; score sums
+    every (group, matched-term) contribution in (group, term-asc) order."""
+    resolved = [sorted({t for t in g if idx.df(t) > 0}) for g in groups]
+    if not resolved or any(not g for g in resolved):
+        return []
+    docsets = [
+        set().union(*(set(idx.postings[t]) for t in g)) for g in resolved
+    ]
+    docs = set.intersection(*docsets)
+    acc: dict[int, np.float64] = {}
+    for g in resolved:  # group order, then ascending term within the group
+        for t in g:
+            for doc_id, s in _term_scores(idx, t).items():
+                if doc_id in docs:
+                    acc[doc_id] = acc.get(doc_id, np.float64(0.0)) + s
+    ranked = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))
+    return [(d, float(s)) for d, s in ranked[:k]]
+
+
 def phrase_freqs(idx: OracleIndex, terms: list[str]) -> dict[int, int]:
     """Exact adjacent-phrase frequency per doc (positions intersect, gap=1)."""
     if not terms:

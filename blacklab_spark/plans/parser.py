@@ -57,8 +57,9 @@ def parse_query(query: str) -> OrQuery | AndQuery | PhraseQuery:
         if len(part) >= 2 and part.startswith("/") and part.endswith("/"):
             atoms.append(TermAtom(part[1:-1], regex=True))
         elif part.endswith("*") and len(part) > 1:
-            # wildcard prefix → anchored regex (BLSpanMultiTermQueryWrapper analog)
-            atoms.append(TermAtom("^" + re.escape(part[:-1]) + ".*", regex=True))
+            # wildcard prefix → regex (BLSpanMultiTermQueryWrapper analog);
+            # expand_pattern anchors the whole-term match
+            atoms.append(TermAtom(re.escape(part[:-1]) + ".*", regex=True))
         else:
             toks = tokenize(part)
             atoms.extend(TermAtom(t) for t in toks)

@@ -190,6 +190,21 @@ def test_and_query_parity(fixture_idx):
     assert got == orc.topk_and(oi, ["the", "question"], 10)
 
 
+def test_and_with_expansion_is_one_clause(fixture_idx):
+    """+qu* +dog: the wildcard expansion is ONE MUST clause (OR inside),
+    not sibling MUSTs — Lucene BooleanQuery semantics (ADVICE r1)."""
+    c, oi = fixture_idx
+    qu_terms = sorted(t for t in oi.postings if t.startswith("qu"))
+    assert len(qu_terms) >= 2  # fixture has quick + question at least
+    got = rows(c.search("+qu* +dog", k=10))
+    exp = orc.topk_and_groups(oi, [qu_terms, ["dog"]], 10)
+    assert got == exp
+    assert got  # must NOT be empty (round-1 flat-MUST bug made it empty)
+    # flat-MUST over the same terms is different (requires EVERY expansion)
+    flat = orc.topk_and(oi, qu_terms + ["dog"], 10)
+    assert got != flat
+
+
 def test_query_string_api(fixture_idx):
     c, oi = fixture_idx
     got = rows(c.search('"quick brown"', k=5))

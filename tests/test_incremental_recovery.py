@@ -1,0 +1,78 @@
+"""Crash safety of add_to_index: every failure point before the meta rewrite
+rolls BACK to the pre-append index; a failure after it rolls FORWARD.
+
+Reference analog: Lucene's atomic segments_N commit — an interrupted segment
+append must never leave a half-visible index."""
+
+import json
+import os
+
+import pytest
+
+from blacklab_spark import oracle as orc
+from blacklab_spark.build import build_index
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.datagen import make_transcripts
+from blacklab_spark.incremental import PENDING_MARKER, add_to_index, recover_pending
+
+
+@pytest.fixture(scope="module")
+def idx(spark, tmp_root):
+    base = make_transcripts(600, seed=31, vocab_size=200)
+    path = f"{tmp_root}/recov_idx"
+    build_index(spark, spark.createDataFrame(base), path,
+                salt_df_threshold=60, docs_per_salt=128)
+    bo = base.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    base_texts = list(bo["text"])
+    oi = orc.build_oracle_index(list(enumerate(base_texts)))
+    return path, oi, base_texts
+
+
+def _delta(seed):
+    d = make_transcripts(150, seed=seed, vocab_size=200)
+    d["conv_id"] = d["conv_id"].str.replace("conv-", "zdel-")
+    # a genuinely NEW term, absent from the base vocab, to exercise the
+    # post-append term-id-vs-term-string fold-order contract
+    d.loc[0, "text"] = d.loc[0, "text"] + " zzznewterm zzznewterm"
+    return d
+
+
+def rows(df):
+    return [(r["doc_id"], r["score"]) for r in df.collect()]
+
+
+@pytest.mark.parametrize(
+    "fp", ["after_marker", "mid_move_docs", "mid_move_postings", "mid_swap"]
+)
+def test_rollback_at_every_precommit_point(spark, idx, fp):
+    path, oi, _ = idx
+    before = rows(Corpus(spark, path).search_or(["the", "w0005"], k=20))
+    meta_before = json.load(open(f"{path}/_meta.json"))
+    with pytest.raises(RuntimeError, match="injected failure"):
+        add_to_index(spark, spark.createDataFrame(_delta(41)), path, _fail_point=fp)
+    assert os.path.exists(os.path.join(path, PENDING_MARKER))
+    c = Corpus(spark, path)  # opening triggers recovery
+    assert not os.path.exists(os.path.join(path, PENDING_MARKER))
+    assert json.load(open(f"{path}/_meta.json")) == meta_before
+    assert rows(c.search_or(["the", "w0005"], k=20)) == before
+    # term dict intact (no delta terms leaked in)
+    assert c.term_dict.filter("term = 'zzznewterm'").count() == 0
+
+
+def test_rollforward_after_commit_then_real_append(spark, idx):
+    path, oi, base_texts = idx
+    delta = _delta(42)
+    with pytest.raises(RuntimeError, match="injected failure"):
+        add_to_index(spark, spark.createDataFrame(delta), path,
+                     _fail_point="after_commit")
+    assert recover_pending(path) is True  # finishes cleanup, keeps the append
+    # full-corpus oracle: base docs then delta docs (appended at N)
+    do = delta.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+    texts = base_texts + list(do["text"])
+    oi2 = orc.build_oracle_index(list(enumerate(texts)))
+    c = Corpus(spark, path)
+    assert c.n_docs == oi2.n_docs
+    # mixed old + genuinely-new term: fold order must be term STRING order
+    # even though zzznewterm's term_id sorts differently (ADVICE r1, medium)
+    for q in [["the"], ["the", "zzznewterm"], ["zzznewterm", "a", "w0003"]]:
+        assert rows(c.search_or(q, k=25)) == orc.topk_or(oi2, q, 25), q
