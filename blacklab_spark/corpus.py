@@ -289,11 +289,145 @@ class Corpus:
         )
 
     def search_or(self, terms: list[str], k: int = 10) -> DataFrame:
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, score double")
+        if len(tinfo) > 1:
+            return self._topk_or_multi(tinfo, k)
         return (
             self.score_or(terms, k=k)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def _topk_or_multi(self, tinfo: pd.DataFrame, k: int) -> DataFrame:
+        """Multi-term block-max WAND, doc-range partitioned (SURVEY §7.2 item 6).
+
+        The query terms' posting blocks are re-keyed by docID RANGE so every
+        doc's FULL score is computable inside one partition (a block that
+        straddles a range boundary is replicated to both ranges and its
+        decoded docs filtered to the range). Within a partition terms are
+        visited rarest-first; a growing threshold θ — the k-th best
+        accumulated partial score, a lower bound of the k-th final score —
+        prunes any block whose block_max_score plus the sum of the OTHER
+        terms' range-local maxima cannot reach θ. No doc in such a block can
+        reach the final top-k (its total is bounded by that same sum), so
+        skipping never corrupts a reported score: emitted scores are exact,
+        term-string-ordered folds, bitwise equal to the oracle.
+
+        Reference cost-ordering analog: ClauseCombinerNfa
+        (/root/reference/engine/src/main/java/nl/inl/blacklab/search/lucene/
+        optimize/ClauseCombinerNfa.java:144-201); rarest-first is WAND's term
+        ordering. Scale shape: ONE shuffle of the queried terms' blocks keyed
+        on doc range, partition-local numpy scoring, then a global
+        TakeOrderedAndProject over (n_ranges × k) rows.
+        """
+        import math as _math
+
+        term_ids = [int(t) for t in tinfo["term_id"]]
+        idf_map = {
+            int(r.term_id): scoring.idf(self.n_docs, int(r.df))
+            for r in tinfo.itertuples()
+        }
+        df_map = {int(r.term_id): int(r.df) for r in tinfo.itertuples()}
+        # fold order = ascending term string (float64 parity contract)
+        t_ord = {
+            int(r.term_id): i
+            for i, r in enumerate(tinfo.sort_values("term").itertuples())
+        }
+        avgdl = self.avgdl
+        # stale bounds after an append: block_max_score is no longer an upper
+        # bound, so visit every block (scores recomputed from tf/dl stay exact)
+        prune = not self.meta.get("bounds_stale", False)
+        n_ranges = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        R = max(1, -(-self.n_docs // n_ranges))
+        kk = int(k)
+
+        blocks = self.postings.filter(F.col("term_id").isin(term_ids)).select(
+            "term_id", "first_doc_id", "doc_gaps", "tfs", "dls",
+            "block_max_score",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("first_doc_id") / F.lit(R)),
+                    F.floor(F.col("last_doc_id") / F.lit(R)),
+                )
+            ).alias("rng"),
+        )
+
+        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * R, (rng + 1) * R
+            by_term = {int(tid): g for tid, g in pdf.groupby("term_id")}
+            ub = {tid: float(g["block_max_score"].max()) for tid, g in by_term.items()}
+            sum_ub = sum(ub.values())
+            theta = -_math.inf
+            docs_parts, ord_parts, contrib_parts = [], [], []
+            order = sorted(by_term, key=lambda tid: (df_map[tid], t_ord[tid]))
+            for tid in order:
+                g = by_term[tid]
+                if prune and theta > -_math.inf:
+                    slack = abs(theta) * 1e-12 + 1e-12  # fp-safety margin
+                    bound = g["block_max_score"].to_numpy() + (sum_ub - ub[tid])
+                    g = g[bound >= theta - slack]
+                if len(g) == 0:
+                    continue
+                dd, tt, ll = [], [], []
+                for row in g.itertuples():  # loop over BLOCKS, not postings
+                    d, t, l = codecs.decode_block({
+                        "first_doc_id": row.first_doc_id,
+                        "doc_gaps": row.doc_gaps,
+                        "tfs": row.tfs,
+                        "dls": row.dls,
+                    })
+                    dd.append(d)
+                    tt.append(t)
+                    ll.append(l)
+                d = np.concatenate(dd)
+                m = (d >= lo) & (d < hi)
+                if not m.any():
+                    continue
+                d = d[m]
+                contrib = scoring.bm25(
+                    np.concatenate(tt)[m], np.concatenate(ll)[m], avgdl, idf_map[tid]
+                )
+                docs_parts.append(d)
+                contrib_parts.append(contrib)
+                ord_parts.append(np.full(d.size, t_ord[tid], dtype=np.int64))
+                if prune:
+                    # θ update: k-th best accumulated partial. Order-free sums
+                    # are fine here — θ only gates pruning, never a reported
+                    # score (those are re-folded exactly below).
+                    ad = np.concatenate(docs_parts)
+                    ac = np.concatenate(contrib_parts)
+                    ud, inv = np.unique(ad, return_inverse=True)
+                    if ud.size >= kk:
+                        sums = np.zeros(ud.size)
+                        np.add.at(sums, inv, ac)
+                        theta = float(np.partition(sums, ud.size - kk)[ud.size - kk])
+            if not docs_parts:
+                return pd.DataFrame(
+                    {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+                )
+            d = np.concatenate(docs_parts)
+            o = np.concatenate(ord_parts)
+            c = np.concatenate(contrib_parts)
+            srt = np.lexsort((o, d))
+            d, c = d[srt], c[srt]
+            ud, starts, counts = np.unique(d, return_index=True, return_counts=True)
+            # exact LEFT fold per doc in term-string order (bitwise == oracle)
+            score = np.zeros(ud.size, dtype=np.float64)
+            for j in range(int(counts.max())):
+                sel = counts > j
+                score[sel] += c[starts[sel] + j]
+            topk = np.lexsort((ud, -score))[:kk]
+            return pd.DataFrame(
+                {"doc_id": ud[topk].astype("int64"), "score": score[topk]}
+            )
+
+        scored = blocks.groupBy("rng").applyInPandas(
+            score_range, schema="doc_id long, score double"
+        )
+        return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
 
     def score_and(self, terms: list[str]) -> DataFrame:
         """Conjunctive BooleanQuery (all MUST clauses): only docs containing

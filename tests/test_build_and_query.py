@@ -147,6 +147,26 @@ def test_small_corpus_parity_sampled_terms(small):
         assert got == exp, t
 
 
+def test_multiterm_wand_exact(small):
+    """Multi-term block-max WAND (doc-range partitions + θ pruning) must be
+    bitwise-identical to the oracle AND to the exhaustive fold path."""
+    from pyspark.sql import functions as F
+    c, oi, _ = small
+    by_df = sorted(oi.postings, key=lambda t: -len(oi.postings[t]))
+    cases = [
+        by_df[:3],                      # stop-word OR: flat score landscape
+        [by_df[0], by_df[-1]],          # common + rare: strong pruning
+        by_df[10:14],                   # mid-frequency mix
+    ]
+    for q in cases:
+        wand = rows(c.search_or(q, k=15))
+        assert wand == orc.topk_or(oi, q, 15), q
+        fold = rows(
+            c.score_or(q).orderBy(F.desc("score"), F.asc("doc_id")).limit(15)
+        )
+        assert wand == fold, q
+
+
 def test_small_corpus_or_and_phrase(small):
     c, oi, _ = small
     terms = sorted(oi.postings, key=lambda t: -len(oi.postings[t]))
