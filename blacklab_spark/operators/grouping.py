@@ -60,6 +60,17 @@ def hits(docs: DataFrame, term: str) -> DataFrame:
     return explode_tokens(docs).filter(F.col("term") == term).select("doc_id", "pos")
 
 
+def group_hits_by_meta_tf(tf: DataFrame, meta: DataFrame, meta_col: str) -> DataFrame:
+    """Hit counts per metadata value from a per-doc (doc_id, tf) frame — the
+    postings-backed HitGroups path (tf comes straight off the inverted index,
+    no token scan)."""
+    return (
+        tf.join(meta.select("doc_id", meta_col), "doc_id")
+        .groupBy(meta_col)
+        .agg(F.sum("tf").alias("n_hits"), F.count("*").alias("n_docs"))
+    )
+
+
 def group_hits_by_meta(docs: DataFrame, term: str, meta_col: str) -> DataFrame:
     """Hit counts per metadata value (HitGroups on a DocProperty key)."""
     h = (
@@ -68,43 +79,41 @@ def group_hits_by_meta(docs: DataFrame, term: str, meta_col: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.count("*").alias("tf"))
     )
+    return group_hits_by_meta_tf(h, docs, meta_col)
+
+
+def collocations_hits(h: DataFrame, docs: DataFrame, window: int = 2) -> DataFrame:
+    """Context-word frequencies within ±window tokens of each hit, given a
+    hits frame (doc_id, pos).
+
+    Plan (SURVEY §2.4's prescription): join each hit to its doc's tokens and
+    SLICE ±window around the hit, then explode the ≤2·window-token slices —
+    bounded work per hit. The round-1 band join (hits × all doc tokens before
+    the window filter) was per-doc quadratic for stop-word hits; this is not.
+    """
+    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    left_start = F.greatest(F.lit(1), F.col("pos") + 1 - window)
+    left_len = F.col("pos") + 1 - left_start
+    ctx = F.concat(
+        F.slice("tokens", left_start, left_len),
+        F.slice("tokens", F.col("pos") + 2, F.lit(window)),
+    )
     return (
-        h.join(docs.select("doc_id", meta_col), "doc_id")
-        .groupBy(meta_col)
-        .agg(F.sum("tf").alias("n_hits"), F.count("*").alias("n_docs"))
+        joined.select(F.explode(ctx).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
     )
 
 
 def collocations(docs: DataFrame, term: str, window: int = 2) -> DataFrame:
-    """Context-word frequencies within ±window tokens of each hit.
-
-    Plan: semi-join docs to those containing the term (postings-style
-    pre-filter), then a per-doc position band join of hits × tokens —
-    both sides come from one explode, co-partitioned on doc_id.
-    """
-    toks = explode_tokens(docs)
-    h = toks.filter(F.col("term") == term).select(
-        "doc_id", F.col("pos").alias("hit_pos")
-    )
-    ctx = (
-        toks.join(h, "doc_id")
-        .filter(
-            (F.abs(F.col("pos") - F.col("hit_pos")) <= window)
-            & (F.col("pos") != F.col("hit_pos"))
-        )
-        .groupBy("term")
-        .agg(F.count("*").alias("n"))
-    )
-    return ctx
+    """Context-word frequencies around each occurrence of `term`."""
+    return collocations_hits(hits(docs, term), docs, window)
 
 
-def kwic(docs: DataFrame, term: str, context: int = 2) -> DataFrame:
-    """KeyWord-In-Context rows: (doc_id, pos, left, match, right).
-
-    Context words come from the tokens column (forward index), sliced with
-    built-in array functions — no Python in the hot path.
-    """
-    h = hits(docs, term)
+def kwic_hits(h: DataFrame, docs: DataFrame, context: int = 2) -> DataFrame:
+    """KeyWord-In-Context rows for a hits frame: (doc_id, pos, left, match,
+    right). Context words come from the tokens column (forward index), sliced
+    with built-in array functions — no Python in the hot path."""
     joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
     # slice() is 1-based; clamp the left edge at the doc start
     left_start = F.greatest(F.lit(1), F.col("pos") + 1 - context)
@@ -120,8 +129,12 @@ def kwic(docs: DataFrame, term: str, context: int = 2) -> DataFrame:
     )
 
 
-def sort_hits_by_context(
-    docs: DataFrame, term: str, offset: int = 1, limit: int | None = None
+def kwic(docs: DataFrame, term: str, context: int = 2) -> DataFrame:
+    return kwic_hits(hits(docs, term), docs, context)
+
+
+def sort_hits_by_context_hits(
+    h: DataFrame, docs: DataFrame, offset: int = 1, limit: int | None = None
 ) -> DataFrame:
     """Hits sorted by a context-word property (HitPropertyAfterHit /
     HitPropertyBeforeHit analogs, /root/reference/engine/src/main/java/nl/inl/
@@ -130,7 +143,6 @@ def sort_hits_by_context(
     the forward index (tokens column). Fully specified order for determinism
     (context asc, doc_id, pos) — the reference pins sort the same way in its
     golden tests (/root/reference/test/test/hits.js:34)."""
-    h = hits(docs, term)
     joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
     idx = F.col("pos") + 1 + offset  # 1-based
     # NULL past either edge; Spark rejects index 0 even in try_element_at
@@ -144,11 +156,16 @@ def sort_hits_by_context(
     return out.limit(limit) if limit else out
 
 
-def doc_results(docs: DataFrame, term: str, max_stored: int = 3) -> DataFrame:
+def sort_hits_by_context(
+    docs: DataFrame, term: str, offset: int = 1, limit: int | None = None
+) -> DataFrame:
+    return sort_hits_by_context_hits(hits(docs, term), docs, offset, limit)
+
+
+def doc_results_hits(h: DataFrame, max_stored: int = 3) -> DataFrame:
     """Per-document hit grouping (DocResults.fromHits analog,
     /root/reference/engine/.../search/results/docs/DocResults.java:146):
-    (doc_id, n_hits, first_positions[:max_stored])."""
-    h = hits(docs, term)
+    (doc_id, n_hits, first_positions[:max_stored]) for a hits frame."""
     return (
         h.groupBy("doc_id")
         .agg(
@@ -156,6 +173,10 @@ def doc_results(docs: DataFrame, term: str, max_stored: int = 3) -> DataFrame:
             F.slice(F.sort_array(F.collect_list("pos")), 1, max_stored).alias("first_positions"),
         )
     )
+
+
+def doc_results(docs: DataFrame, term: str, max_stored: int = 3) -> DataFrame:
+    return doc_results_hits(hits(docs, term), max_stored)
 
 
 def autocomplete(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
@@ -225,10 +246,10 @@ def sample_deterministic(df: DataFrame, id_col: str, rate_num: int, rate_den: in
 
 
 def hits_window(df: DataFrame, order_cols: list, first: int, number: int) -> DataFrame:
-    """Pagination window over a fully-specified sort (Hits.window analog)."""
-    w = Window.orderBy(*order_cols)
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") > first) & (F.col("_rn") <= first + number))
-        .drop("_rn")
-    )
+    """Pagination window over a fully-specified sort (Hits.window analog).
+
+    orderBy + offset + limit compiles to TakeOrderedAndProject (bounded
+    per-partition heaps of first+number rows, merged on the driver) — the
+    round-1 Window.orderBy-without-partitionBy plan shuffled EVERY hit into
+    one task."""
+    return df.orderBy(*order_cols).offset(first).limit(number)
