@@ -424,6 +424,38 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ex = S.expand(c.spans_term("join"), c.docs, left=1, right=1)
         return _to_orig(c, ex, "start", "end")
 
+    # ---- BCQL query strings (plans/cql.py) — parser-driven span queries;
+    # each compiles onto the same postings-backed algebra as the span_*
+    # entries, proving the query-language surface end-to-end ----
+    def span_cql_seq(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return _to_orig(c, c.find_cql('"join" []{0,2} "scan"'), "start", "end")
+
+    def span_cql_within(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return _to_orig(
+            c, c.find_cql('"hash" within ("table" "hash")'), "start", "end"
+        )
+
+    def span_cql_rep(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return _to_orig(c, c.find_cql('"vector"{2,2}'), "start", "end")
+
+    def span_cql_anytoken(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return _to_orig(c, c.find_cql("[]{2,3}"), "start", "end")
+
+    def span_cql_constraint(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = c.find_cql('A:[] "join" B:[] :: A.word = B.word')
+        return _to_orig(c, out.select("doc_id", "start", "end"), "start", "end")
+
+    def span_cql_tokexpr(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        return _to_orig(
+            c, c.find_cql('[word="join" | word="scan"]'), "start", "end"
+        )
+
     def fuzzy_expand(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return S.fuzzy_terms(c.term_dict, "joins", 1).select("term", "df", "cf", "dist")
@@ -472,6 +504,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_not_counts": span_not_counts,
         "span_repetition": span_repetition,
         "span_expand": span_expand,
+        "span_cql_seq": span_cql_seq,
+        "span_cql_within": span_cql_within,
+        "span_cql_rep": span_cql_rep,
+        "span_cql_anytoken": span_cql_anytoken,
+        "span_cql_constraint": span_cql_constraint,
+        "span_cql_tokexpr": span_cql_tokexpr,
         "fuzzy_expand": fuzzy_expand,
         "ann_lsh_topk": ann_lsh_topk,
     }
@@ -770,6 +808,49 @@ WHERE tok = 'vector' AND i + 1 <= len(toks) AND toks[i + 1] = 'vector'
 WITH {_POS_CTES}
 SELECT doc_id, greatest(i - 2, 0) AS start, least(i + 1, len(toks)) AS "end"
 FROM pos WHERE tok = 'join'
+""",
+        "span_cql_seq": f"""
+WITH {_POS_CTES},
+a AS (SELECT doc_id, i FROM pos WHERE tok = 'join'),
+b AS (SELECT doc_id, i FROM pos WHERE tok = 'scan')
+SELECT a.doc_id, a.i - 1 AS start, b.i AS "end"
+FROM a JOIN b ON a.doc_id = b.doc_id AND b.i - a.i - 1 BETWEEN 0 AND 2
+""",
+        "span_cql_within": f"""
+WITH {_POS_CTES},
+h AS (SELECT doc_id, i FROM pos WHERE tok = 'hash'),
+bi AS (
+  SELECT doc_id, i - 1 AS s, i + 1 AS e FROM pos
+  WHERE tok = 'table' AND i + 1 <= len(toks) AND toks[i + 1] = 'hash'
+)
+SELECT DISTINCT h.doc_id, h.i - 1 AS start, h.i AS "end"
+FROM h JOIN bi ON h.doc_id = bi.doc_id AND h.i - 1 >= bi.s AND h.i <= bi.e
+""",
+        "span_cql_rep": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS start, i + 1 AS "end" FROM pos
+WHERE tok = 'vector' AND i + 1 <= len(toks) AND toks[i + 1] = 'vector'
+""",
+        "span_cql_anytoken": f"""
+WITH t AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '{_SQL_TOK}')) AS dl
+  FROM documents
+),
+L AS (SELECT doc_id, dl, unnest([2, 3]) AS l FROM t),
+s AS (SELECT doc_id, l, unnest(range(0, dl - l + 1)) AS start FROM L WHERE dl >= l)
+SELECT doc_id, start, start + l AS "end" FROM s
+""",
+        "span_cql_constraint": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 2 AS start, i + 1 AS "end"
+FROM pos
+WHERE tok = 'join' AND i >= 2 AND i + 1 <= len(toks)
+  AND toks[i - 1] = toks[i + 1]
+""",
+        "span_cql_tokexpr": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS start, i AS "end" FROM pos
+WHERE tok IN ('join', 'scan')
 """,
         "fuzzy_expand": f"""
 WITH {_BASE_CTES},

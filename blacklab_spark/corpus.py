@@ -299,8 +299,17 @@ class Corpus:
         positional postings. Feed this to blacklab_spark.operators.spans —
         the span algebra then runs off the index instead of a full-corpus
         posexplode (VERDICT r1 'Missing #2')."""
+        return self.spans_terms([term])
+
+    def spans_terms(self, terms: list[str]) -> DataFrame:
+        """Union of length-1 spans for several terms from ONE postings scan —
+        the BLSpanMultiTermQueryWrapper expansion leaf (one regex/wildcard
+        atom expands to many terms; they share a single decode pass)."""
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return self.spark.createDataFrame([], "doc_id long, start int, end int")
         return (
-            self.term_positions(term)
+            self._decoded_positions(tinfo)
             .select("doc_id", F.explode("positions").alias("p"))
             .select(
                 "doc_id",
@@ -626,6 +635,13 @@ class Corpus:
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
+
+    def find_cql(self, query: str) -> DataFrame:
+        """BCQL subset → span DataFrame (doc_id, start, end [, captures]);
+        see blacklab_spark.plans.cql for the supported grammar."""
+        from blacklab_spark.plans.cql import find_cql
+
+        return find_cql(self, query)
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Parse a query string (mini-BCQL: terms / quoted phrase / /regex/)

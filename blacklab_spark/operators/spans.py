@@ -107,7 +107,7 @@ def within(producer: DataFrame, container: DataFrame, invert: bool = False) -> D
         & (F.col("p.end") <= F.col("c.end"))
     )
     how = "left_anti" if invert else "left_semi"
-    return p.join(c, cond, how).select(*SPAN_COLS)
+    return p.join(c, cond, how).select("p.*")
 
 
 def containing(producer: DataFrame, contained: DataFrame, invert: bool = False) -> DataFrame:
@@ -119,7 +119,7 @@ def containing(producer: DataFrame, contained: DataFrame, invert: bool = False) 
         & (F.col("c.end") <= F.col("p.end"))
     )
     how = "left_anti" if invert else "left_semi"
-    return p.join(c, cond, how).select(*SPAN_COLS)
+    return p.join(c, cond, how).select("p.*")
 
 
 def expand(spans: DataFrame, docs: DataFrame, left: int = 0, right: int = 0) -> DataFrame:

@@ -1,0 +1,555 @@
+"""BCQL subset — parser + DataFrame compiler.
+
+A working subset of BlackLab Corpus Query Language (reference grammar:
+/root/reference/query-parser/src/main/javacc/nl/inl/blacklab/queryParser/
+corpusql/cql.jj — sequence :476, repetition :425-445, position :594-670,
+within/containing :253, global constraints :163-250), compiled onto the
+postings-backed span algebra:
+
+    [word="re.*"]            token position, regex anchored to the whole term
+    "fox"  /  "the fox"      quoted literal token(s) (multi-word = sequence)
+    []                       any token;  []{2,3}  any 2..3-token n-gram
+    A B                      sequence (adjacency)
+    A []{m,n} B              sequence with gap (SpansSequenceWithGap)
+    A{m,n}  A*  A+  A?       repetition (bounded; * and + clamp at max_rep)
+    [word="a" | word="b"]    token-level OR;  & token-level AND;  != negation
+    (...)                    grouping
+    A within B / containing  position filter (optional ! prefix inverts)
+    lab:X                    capture group -> c_<lab>_s / c_<lab>_e columns
+    q :: lab.word = lab2.word   global constraint via the forward index
+                                (MatchFilterEquals analog; also != and
+                                string literals on either side)
+
+The compiler maps every construct to the operators in
+blacklab_spark.operators.spans over Corpus postings leaves, so parsing a
+query string yields the SAME plans as composing the algebra by hand:
+leaves decode positional postings; any-token runs generate from doc lengths
+(SpanQueryAnyToken, /root/reference/engine/.../lucene/SpanQueryAnyToken.java:251);
+gaps compile into the sequence join (CCAnyExpansion analog); optional units
+expand into OR-alternatives (EmptyClauseAlts rewrite,
+/root/reference/doc/technical/query rewriting.md:46).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from blacklab_spark.operators import spans as S
+from blacklab_spark.tokenizer import tokenize
+
+MAX_REP = 8          # clamp for unbounded * / + quantifiers
+MAX_ALTERNATIVES = 64  # cap for optional-unit expansion
+
+_PLAIN_TERM = re.compile(r"^[a-z0-9']+$")
+
+
+# ------------------------------------------------------------------- AST ----
+
+@dataclass(frozen=True)
+class TokClause:          # word="re"  /  word!="re"
+    pattern: str
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class TokAnd:
+    a: object
+    b: object
+
+
+@dataclass(frozen=True)
+class TokOr:
+    a: object
+    b: object
+
+
+@dataclass(frozen=True)
+class AnyToken:
+    pass
+
+
+@dataclass(frozen=True)
+class TokenNode:          # one token position matching a token expression
+    expr: object
+
+
+@dataclass(frozen=True)
+class Unit:               # one sequence element with quantifier + capture
+    node: object
+    m: int = 1
+    n: int = 1
+    label: str | None = None
+
+
+@dataclass(frozen=True)
+class SeqNode:
+    units: tuple
+
+
+@dataclass(frozen=True)
+class PosFilterNode:      # within / containing (+invert)
+    producer: object
+    filt: object
+    op: str               # "within" | "containing"
+    invert: bool = False
+
+
+@dataclass(frozen=True)
+class Constraint:         # lhs/rhs: ("cap", label) or ("lit", value)
+    lhs: tuple
+    rhs: tuple
+    negate: bool = False
+
+
+@dataclass(frozen=True)
+class ConstrainedNode:
+    q: object
+    conditions: tuple = field(default_factory=tuple)
+
+
+# ---------------------------------------------------------------- lexer -----
+
+_TOKEN_RE = re.compile(
+    r"""\s*(?:
+      (?P<within>!?within\b) | (?P<containing>!?containing\b)
+    | (?P<cons>::)
+    | (?P<lbrack>\[) | (?P<rbrack>\]) | (?P<lpar>\() | (?P<rpar>\))
+    | (?P<quant>\{\s*\d+\s*(?:,\s*\d*)?\s*\})
+    | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
+    | (?P<amp>&) | (?P<pipe>\|) | (?P<neq>!=) | (?P<eq>=) | (?P<dot>\.)
+    | (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<colon>:)
+    )""",
+    re.X,
+)
+
+
+def _lex(q: str) -> list[tuple[str, str]]:
+    out, i = [], 0
+    while i < len(q):
+        m = _TOKEN_RE.match(q, i)
+        if not m or m.end() == m.start():
+            if q[i:].strip() == "":
+                break
+            raise ValueError(f"CQL lex error at {q[i:i+20]!r}")
+        i = m.end()
+        kind = m.lastgroup
+        out.append((kind, m.group(kind)))
+    return out
+
+
+class _Parser:
+    def __init__(self, toks: list[tuple[str, str]]):
+        self.toks = toks
+        self.i = 0
+
+    def peek(self, kind=None):
+        if self.i >= len(self.toks):
+            return None
+        k, v = self.toks[self.i]
+        return (k, v) if kind is None or k == kind else None
+
+    def eat(self, kind):
+        tok = self.peek(kind)
+        if tok is None:
+            got = self.toks[self.i] if self.i < len(self.toks) else "EOF"
+            raise ValueError(f"CQL parse error: expected {kind}, got {got}")
+        self.i += 1
+        return tok[1]
+
+    # query := filtered ('::' constraints)?
+    def query(self):
+        q = self.filtered()
+        conds = []
+        if self.peek("cons"):
+            self.eat("cons")
+            conds.append(self.condition())
+            while self.peek("amp"):
+                self.eat("amp")
+                conds.append(self.condition())
+        if self.i != len(self.toks):
+            raise ValueError(f"CQL trailing input: {self.toks[self.i:]}")
+        return ConstrainedNode(q, tuple(conds)) if conds else q
+
+    def condition(self) -> Constraint:
+        lhs = self.ref()
+        if self.peek("neq"):
+            self.eat("neq")
+            neg = True
+        else:
+            self.eat("eq")
+            neg = False
+        return Constraint(lhs, self.ref(), neg)
+
+    def ref(self):
+        if self.peek("str"):
+            return ("lit", _unquote(self.eat("str")))
+        label = self.eat("ident")
+        self.eat("dot")
+        annot = self.eat("ident")
+        if annot != "word":
+            raise ValueError(f"only 'word' annotation supported, got {annot}")
+        return ("cap", label)
+
+    # filtered := seq (('within'|'containing') seq)*
+    def filtered(self):
+        q = self.seq()
+        while self.peek("within") or self.peek("containing"):
+            if self.peek("within"):
+                v = self.eat("within")
+                op = "within"
+            else:
+                v = self.eat("containing")
+                op = "containing"
+            q = PosFilterNode(q, self.seq(), op, invert=v.startswith("!"))
+        return q
+
+    def seq(self) -> SeqNode:
+        units = [self.unit()]
+        while True:
+            k = self.peek()
+            if k and k[0] in ("lbrack", "lpar", "str", "ident"):
+                units.append(self.unit())
+            else:
+                break
+        return SeqNode(tuple(units))
+
+    # unit := (label ':')? atom quant?
+    def unit(self) -> Unit:
+        label = None
+        if self.peek("ident"):
+            label = self.eat("ident")
+            self.eat("colon")
+        node = self.atom()
+        m, n = 1, 1
+        if self.peek("quant"):
+            qs = self.eat("quant").strip("{} \t")
+            if "," in qs:
+                a, b = qs.split(",")
+                m = int(a)
+                n = int(b) if b.strip() else MAX_REP
+            else:
+                m = n = int(qs)
+        elif self.peek("star"):
+            self.eat("star")
+            m, n = 0, MAX_REP
+        elif self.peek("plus"):
+            self.eat("plus")
+            m, n = 1, MAX_REP
+        elif self.peek("opt"):
+            self.eat("opt")
+            m, n = 0, 1
+        if n < m:
+            raise ValueError(f"bad quantifier {{{m},{n}}}")
+        return Unit(node, m, n, label)
+
+    # atom := '[' tokexpr? ']' | STR | '(' seq ')'
+    def atom(self):
+        if self.peek("lbrack"):
+            self.eat("lbrack")
+            if self.peek("rbrack"):
+                self.eat("rbrack")
+                return AnyToken()
+            expr = self.tokexpr()
+            self.eat("rbrack")
+            return TokenNode(expr)
+        if self.peek("lpar"):
+            self.eat("lpar")
+            s = self.seq_or_alternation()
+            self.eat("rpar")
+            return s
+        if self.peek("str"):
+            words = tokenize(_unquote(self.eat("str")))
+            if not words:
+                raise ValueError("empty quoted token")
+            if len(words) == 1:
+                return TokenNode(TokClause(re.escape(words[0])))
+            return SeqNode(tuple(
+                Unit(TokenNode(TokClause(re.escape(w)))) for w in words
+            ))
+        got = self.toks[self.i] if self.i < len(self.toks) else "EOF"
+        raise ValueError(f"CQL parse error at {got}")
+
+    # inside parens, allow clause-level alternation: (A | B)
+    def seq_or_alternation(self):
+        first = self.seq()
+        if not self.peek("pipe"):
+            return first
+        alts = [first]
+        while self.peek("pipe"):
+            self.eat("pipe")
+            alts.append(self.seq())
+        return ("alt", tuple(alts))
+
+    # tokexpr := clause (('&'|'|') clause)*  — left-associative
+    def tokexpr(self):
+        e = self.tokclause()
+        while self.peek("amp") or self.peek("pipe"):
+            if self.peek("amp"):
+                self.eat("amp")
+                e = TokAnd(e, self.tokclause())
+            else:
+                self.eat("pipe")
+                e = TokOr(e, self.tokclause())
+        return e
+
+    def tokclause(self) -> TokClause:
+        name = self.eat("ident")
+        if name != "word":
+            raise ValueError(f"only 'word' annotation supported, got {name}")
+        neg = False
+        if self.peek("neq"):
+            self.eat("neq")
+            neg = True
+        else:
+            self.eat("eq")
+        return TokClause(_unquote(self.eat("str")), neg)
+
+
+def _unquote(s: str) -> str:
+    return re.sub(r"\\(.)", r"\1", s[1:-1])
+
+
+def parse_cql(q: str):
+    return _Parser(_lex(q)).query()
+
+
+# ------------------------------------------------------------- compiler -----
+
+SPAN_COLS = ["doc_id", "start", "end"]
+
+
+class CqlCompiler:
+    """Compile a parsed BCQL tree to a span DataFrame over a Corpus.
+
+    Output: (doc_id long, start int, end int [, c_<label>_s, c_<label>_e ...])
+    with engine doc ids; captures are extra int columns.
+    """
+
+    def __init__(self, corpus, max_expand: int = 1024):
+        self.c = corpus
+
+    # ---- leaves ----
+    def _eq_spans(self, pattern: str) -> DataFrame:
+        if _PLAIN_TERM.match(pattern):
+            terms = [pattern]
+        else:
+            terms = self.c.expand_pattern(pattern)
+        return self.c.spans_terms(terms)
+
+    def _any_ngrams(self, m: int, n: int) -> DataFrame:
+        """All m..n-token spans per doc, generated from exact doc lengths
+        (SpanQueryAnyToken analog) — no token scan, just dl arithmetic."""
+        assert m >= 1
+        dl = self.c.doc_lengths()
+        return (
+            dl.select("doc_id", "dl", F.explode(F.sequence(F.lit(m), F.lit(n))).alias("L"))
+            .filter(F.col("dl") >= F.col("L"))
+            .select(
+                "doc_id",
+                F.explode(F.sequence(F.lit(0), F.col("dl") - F.col("L"))).alias("start"),
+                "L",
+            )
+            .select(
+                "doc_id",
+                F.col("start").cast("int").alias("start"),
+                (F.col("start") + F.col("L")).cast("int").alias("end"),
+            )
+        )
+
+    def _tok_spans(self, expr) -> DataFrame:
+        if isinstance(expr, TokClause):
+            eq = self._eq_spans(expr.pattern)
+            if not expr.negate:
+                return eq
+            return self._any_ngrams(1, 1).join(
+                eq.select("doc_id", "start"), ["doc_id", "start"], "left_anti"
+            )
+        if isinstance(expr, TokOr):
+            return S.span_or(self._tok_spans(expr.a), self._tok_spans(expr.b))
+        if isinstance(expr, TokAnd):
+            return S.span_and(self._tok_spans(expr.a), self._tok_spans(expr.b))
+        raise TypeError(expr)
+
+    # ---- composite ----
+    def compile(self, node) -> DataFrame:
+        if isinstance(node, TokenNode):
+            return self._tok_spans(node.expr)
+        if isinstance(node, AnyToken):
+            return self._any_ngrams(1, 1)
+        if isinstance(node, SeqNode):
+            return self._compile_seq(node.units)
+        if isinstance(node, tuple) and node and node[0] == "alt":
+            frames = [self.compile(a) for a in node[1]]
+            out = frames[0].select(*SPAN_COLS)
+            for f in frames[1:]:
+                out = out.unionByName(f.select(*SPAN_COLS))
+            return out.dropDuplicates(SPAN_COLS)
+        if isinstance(node, PosFilterNode):
+            prod = self.compile(node.producer)
+            filt = self.compile(node.filt).select(*SPAN_COLS)
+            fn = S.within if node.op == "within" else S.containing
+            return fn(prod, filt, invert=node.invert)
+        if isinstance(node, ConstrainedNode):
+            return self._apply_constraints(self.compile(node.q), node.conditions)
+        raise TypeError(node)
+
+    def _compile_unit(self, u: Unit) -> DataFrame:
+        """One concrete (m>=1) sequence element; adds capture columns."""
+        if isinstance(u.node, AnyToken):
+            if u.label is not None and u.m != u.n:
+                raise ValueError("capture on a variable-width any-token gap")
+            f = self._any_ngrams(u.m, u.n)
+        else:
+            f = self.compile(u.node)
+            if (u.m, u.n) != (1, 1):
+                if any(c.startswith("c_") for c in f.columns):
+                    raise ValueError("captures inside a repeated group")
+                f = S.repetition(f.select(*SPAN_COLS), u.m, u.n)
+        if u.label:
+            f = f.withColumn(f"c_{u.label}_s", F.col("start")).withColumn(
+                f"c_{u.label}_e", F.col("end")
+            )
+        return f
+
+    @staticmethod
+    def _caps(df: DataFrame) -> list[str]:
+        return [c for c in df.columns if c.startswith("c_")]
+
+    def _seq_join(self, a: DataFrame, b: DataFrame, gmin: int, gmax: int) -> DataFrame:
+        """A followed by B with gap in [gmin, gmax]; capture columns from both
+        sides survive (S.sequence drops them)."""
+        aa, bb = a.alias("a"), b.alias("b")
+        dup = set(self._caps(a)) & set(self._caps(b))
+        if dup:
+            raise ValueError(f"duplicate capture labels: {dup}")
+        cond = (
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.start") - F.col("a.end") >= gmin)
+            & (F.col("b.start") - F.col("a.end") <= gmax)
+        )
+        return aa.join(bb, cond).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.start").alias("start"),
+            F.col("b.end").alias("end"),
+            *[F.col(f"a.{c}") for c in self._caps(a)],
+            *[F.col(f"b.{c}") for c in self._caps(b)],
+        )
+
+    def _var_extend(self, df: DataFrame, gmin: int, gmax: int, side: str) -> DataFrame:
+        """Leading/trailing any-token gap on the sequence edge: extend the
+        span by g in [gmin, gmax], clamped to the document bounds."""
+        g = F.explode(F.sequence(F.lit(gmin), F.lit(gmax))).alias("_g")
+        out = df.select("*", g)
+        if side == "left":
+            out = out.withColumn("start", (F.col("start") - F.col("_g")).cast("int"))
+            out = out.filter(F.col("start") >= 0).drop("_g")
+        else:
+            out = out.join(self.c.doc_lengths(), "doc_id")
+            out = out.withColumn("end", (F.col("end") + F.col("_g")).cast("int"))
+            out = out.filter(F.col("end") <= F.col("dl")).drop("_g", "dl")
+        return out.dropDuplicates(out.columns)
+
+    def _compile_seq(self, units: tuple) -> DataFrame:
+        # expand optional (m=0) units into OR-alternatives (EmptyClauseAlts)
+        alts: list[list[Unit]] = [[]]
+        for u in units:
+            is_gap = isinstance(u.node, AnyToken) and u.label is None
+            new = []
+            for a in alts:
+                if u.m == 0 and not is_gap:  # gaps handle m=0 in the join
+                    new.append(list(a))
+                    if u.n > 0:
+                        if u.label is not None:
+                            raise ValueError("capture on an optional unit")
+                        new.append(a + [Unit(u.node, 1, u.n, None)])
+                else:
+                    new.append(a + [u])
+            alts = new
+            if len(alts) > MAX_ALTERNATIVES:
+                raise ValueError("too many optional-unit alternatives")
+        frames = [self._compile_seq_concrete(a) for a in alts if a]
+        if not frames:
+            raise ValueError("sequence matches only the empty string")
+        if len(frames) == 1:
+            return frames[0]
+        cols = frames[0].columns
+        if any(f.columns != cols for f in frames[1:]):
+            raise ValueError("captures must not differ across optional branches")
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out.dropDuplicates(cols)
+
+    def _compile_seq_concrete(self, units: list[Unit]) -> DataFrame:
+        acc = None
+        lead_gap: tuple[int, int] | None = None
+        pend_gap: tuple[int, int] | None = None
+        any_total = None
+        for u in units:
+            if isinstance(u.node, AnyToken) and u.label is None:
+                # fold into the NEXT join as a gap (CCAnyExpansion analog)
+                g = (u.m, u.n)
+                pend_gap = (
+                    g if pend_gap is None
+                    else (pend_gap[0] + g[0], pend_gap[1] + g[1])
+                )
+                any_total = (
+                    g if any_total is None
+                    else (any_total[0] + g[0], any_total[1] + g[1])
+                )
+                continue
+            any_total = None
+            f = self._compile_unit(u)
+            if acc is None:
+                if pend_gap is not None:
+                    lead_gap = pend_gap
+                    pend_gap = None
+                acc = f
+            else:
+                gmin, gmax = pend_gap or (0, 0)
+                pend_gap = None
+                acc = self._seq_join(acc, f, gmin, gmax)
+        if acc is None:
+            # pure any-token sequence: standalone []{m,n}
+            m, n = any_total
+            return self._any_ngrams(max(m, 1), n)
+        if pend_gap is not None:
+            acc = self._var_extend(acc, pend_gap[0], pend_gap[1], "right")
+        if lead_gap is not None:
+            acc = self._var_extend(acc, lead_gap[0], lead_gap[1], "left")
+        return acc
+
+    def _apply_constraints(self, df: DataFrame, conds: tuple) -> DataFrame:
+        """Global constraints: look the captured token up in the forward
+        index (tokens column) — MatchFilterEquals analog (/root/reference/
+        engine/src/main/java/nl/inl/blacklab/search/matchfilter/
+        MatchFilterEquals.java)."""
+        caps = set(self._caps(df))
+
+        def ref_expr(ref):
+            kind, v = ref
+            if kind == "lit":
+                return F.lit(v)
+            col = f"c_{v}_s"
+            if col not in caps:
+                raise ValueError(f"constraint references unknown capture {v!r}")
+            return F.element_at("tokens", F.col(col) + 1)
+
+        out = df.join(self.c.docs.select("doc_id", "tokens"), "doc_id")
+        for cond in conds:
+            e = ref_expr(cond.lhs) == ref_expr(cond.rhs)
+            out = out.filter(~e if cond.negate else e)
+        return out.drop("tokens")
+
+
+def find_cql(corpus, query: str) -> DataFrame:
+    """Parse + compile a BCQL query over a built corpus: the BlackLab
+    find(CorpusQueryLanguageParser.parse(q)) path (/root/reference/
+    query-parser/.../CorpusQueryLanguageParser.java:28)."""
+    return CqlCompiler(corpus).compile(parse_cql(query))

@@ -1,0 +1,103 @@
+"""BCQL subset parser + compiler — end-to-end span results on the fixture
+micro-corpus (mirrors the reference's TestSearches over TestIndex,
+/root/reference/core/src/test/java/nl/inl/blacklab/search/TestSearches.java).
+
+Fixture token positions (doc_id: tokens):
+  0: the0 quick1 brown2 fox3 jumps4 over5 the6 lazy7 dog8
+  1: noot0 mier1 aap2 mier3 mier4 mier5 noot6 noot7 aap8 aap9 aap10 aap11
+  2: may0 the1 force2 be3 with4 you5 may6 the7 force8 be9 with10 you11
+  3: to0 be1 or2 not3 to4 be5 that6 is7 the8 question9
+  4: (empty)
+  5: == doc 0
+"""
+
+import pytest
+
+from blacklab_spark.build import build_index
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.datagen import fixture_corpus
+from blacklab_spark.plans.cql import parse_cql
+
+
+@pytest.fixture(scope="module")
+def cidx(spark, tmp_root):
+    path = f"{tmp_root}/cql_idx"
+    build_index(spark, spark.createDataFrame(fixture_corpus()), path, block_size=4)
+    return Corpus(spark, path)
+
+
+def spans(df):
+    return sorted((r["doc_id"], r["start"], r["end"]) for r in df.collect())
+
+
+CASES = [
+    # sequences
+    ('"the" "quick"', [(0, 0, 2), (5, 0, 2)]),
+    ('"the" []{0,2} "fox"', [(0, 0, 4), (5, 0, 4)]),
+    ('"may" [] "force"', [(2, 0, 3), (2, 6, 9)]),
+    # regex / tokexpr leaves
+    ('[word="no.*"]', [(1, 0, 1), (1, 6, 7), (1, 7, 8), (3, 3, 4)]),
+    ('[word="fox" | word="dog"]',
+     [(0, 3, 4), (0, 8, 9), (5, 3, 4), (5, 8, 9)]),
+    # repetition
+    ('"mier"{2,3}', [(1, 3, 5), (1, 3, 6), (1, 4, 6)]),
+    # within / inverted within
+    ('"be" within ("to" "be" "or")', [(3, 1, 2)]),
+    ('"the" !within ("the" "quick")',
+     [(0, 6, 7), (2, 1, 2), (2, 7, 8), (3, 8, 9), (5, 6, 7)]),
+    # containing
+    ('("may" "the" "force") containing "force"', [(2, 0, 3), (2, 6, 9)]),
+    # clause alternation
+    ('(("may" "the") | ("the" "force"))',
+     [(2, 0, 2), (2, 1, 3), (2, 6, 8), (2, 7, 9)]),
+    # optional unit → OR-alternatives
+    ('"the" "quick"?',
+     [(0, 0, 1), (0, 0, 2), (0, 6, 7), (2, 1, 2), (2, 7, 8), (3, 8, 9),
+      (5, 0, 1), (5, 0, 2), (5, 6, 7)]),
+    # token-level negation
+    ('"the" [word != "quick"]',
+     [(0, 6, 8), (2, 1, 3), (2, 7, 9), (3, 8, 10), (5, 6, 8)]),
+    # global constraint via forward index
+    ('A:[] "mier" B:[] :: A.word = B.word', [(1, 3, 6)]),
+    # constraint against a literal
+    ('A:[] "quick" :: A.word = "the"', [(0, 0, 2), (5, 0, 2)]),
+]
+
+
+@pytest.mark.parametrize("q,expected", CASES, ids=[c[0] for c in CASES])
+def test_cql_results(cidx, q, expected):
+    assert spans(cidx.find_cql(q)) == expected
+
+
+def test_cql_plus_repetition(cidx):
+    got = spans(cidx.find_cql('"aap"+'))
+    runs = {1: [(2, 3)], 0: []}
+    exp = [(1, 2, 3)] + [
+        (1, s, e) for s in range(8, 12) for e in range(s + 1, 13)
+    ]
+    assert got == sorted(exp)
+
+
+def test_cql_standalone_anytoken(cidx):
+    # []{2,3}: per doc (dl-1) + (dl-2) spans
+    got = cidx.find_cql("[]{2,3}").count()
+    dls = [9, 12, 12, 10, 0, 9]
+    assert got == sum(max(d - 1, 0) + max(d - 2, 0) for d in dls)
+
+
+def test_cql_capture_columns(cidx):
+    df = cidx.find_cql('A:[] "mier" B:[] :: A.word = B.word')
+    assert set(df.columns) == {"doc_id", "start", "end",
+                               "c_A_s", "c_A_e", "c_B_s", "c_B_e"}
+    r = df.collect()[0]
+    assert (r["c_A_s"], r["c_A_e"], r["c_B_s"], r["c_B_e"]) == (3, 4, 5, 6)
+
+
+def test_cql_parse_errors():
+    for bad in ["[lemma=\"x\"]", '"a" ::', "[word=]", '"a" }{']:
+        with pytest.raises(ValueError):
+            parse_cql(bad)
+
+
+def test_cql_absent_term_empty(cidx):
+    assert cidx.find_cql('"zzzabsent" "the"').count() == 0
