@@ -301,7 +301,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def ngram_jaccard(spark, sf_dir):
         sh = dedup.shingles(_tokenized_docs(spark, sf_dir), "tokens", "doc_id", n=3)
-        pairs = dedup.exact_jaccard_pairs(sh, min_jaccard=0.5)
+        # df cap bounds the inverted join's fan-out on ubiquitous shingles
+        # (the oracle applies the identical cap)
+        pairs = dedup.exact_jaccard_pairs(sh, min_jaccard=0.5, max_shingle_df=50)
         return pairs.select(
             "id_a", "id_b", F.col("inter").alias("inter"),
             F.round("jaccard", 6).alias("jaccard"),
@@ -386,6 +388,45 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def autocomplete(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return grouping.autocomplete(c.term_dict, "s", k=10)
+
+    def hits_group_composite(spark, sf_dir):
+        # HitPropertyMultiple: (context word after the hit) × (doc lang)
+        c = _corpus(spark, sf_dir)
+        eh = _hits_from_index(c, TERM)
+        dm = c.doc_map().select(
+            "doc_id", F.col("conv_id").cast("long").alias("orig_id")
+        )
+        lang = _load_documents(spark, sf_dir).select(
+            F.col("doc_id").alias("orig_id"), "lang"
+        )
+        docs_aug = (
+            c.docs.select("doc_id", "tokens").join(dm, "doc_id").join(lang, "orig_id")
+        )
+        return grouping.group_hits_by_context_and_meta(eh, docs_aug, "lang", offset=1)
+
+    def events_by_decade(spark, sf_dir):
+        ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+        return ev.groupBy(grouping.decade_of("ts").alias("decade")).agg(
+            F.count("*").alias("n"), F.round(F.sum("value"), 3).alias("total_value")
+        )
+
+    def sample_fixed(spark, sf_dir):
+        d = _load_documents(spark, sf_dir)
+        return grouping.sample_fixed_n(d, "doc_id", 25, seed=7).select("doc_id")
+
+    def span_overlap(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        a = S.expand(c.spans_term("join"), c.docs, left=1, right=1)
+        b = S.expand(c.spans_term("scan"), c.docs, left=1, right=1)
+        return _to_orig(c, S.overlapping(a, b), "start", "end")
+
+    def span_andnot(spark, sf_dir):
+        # join-bigrams whose second token is NOT scan (AND with a negative
+        # clause over identical extents)
+        c = _corpus(spark, sf_dir)
+        a = c.find_cql('"join" []')
+        b = c.find_cql('"join" "scan"')
+        return _to_orig(c, S.span_and_not(a, b), "start", "end")
 
     # ---- span algebra (SURVEY.md §2.3) — postings-backed leaves: every
     # span entry decodes (doc_id, positions) from the positional postings
@@ -498,6 +539,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_sorted_by_after": hits_sorted_by_after,
         "doc_results": doc_results,
         "autocomplete": autocomplete,
+        "hits_group_composite": hits_group_composite,
+        "events_by_decade": events_by_decade,
+        "sample_fixed": sample_fixed,
+        "span_overlap": span_overlap,
+        "span_andnot": span_andnot,
         "span_sequence_gap": span_sequence_gap,
         "span_within": span_within,
         "span_containing": span_containing,
@@ -598,7 +644,10 @@ FROM documents GROUP BY md5(text)
         "ngram_jaccard": f"""
 WITH {_POS_CTES},
 u AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS i, toks FROM t),
-sh AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i + 2], ' ') AS shingle FROM u),
+sh0 AS (SELECT DISTINCT doc_id AS id, array_to_string(toks[i:i + 2], ' ') AS shingle FROM u),
+-- identical df<=50 cap as the engine (bounds the inverted join fan-out)
+keep AS (SELECT shingle FROM sh0 GROUP BY shingle HAVING count(*) <= 50),
+sh AS (SELECT sh0.id, sh0.shingle FROM sh0 JOIN keep USING (shingle)),
 sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
 inter AS (
   SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
@@ -769,6 +818,38 @@ WITH {_BASE_CTES},
 td AS (SELECT term, count(*) AS cf FROM tok GROUP BY term)
 SELECT term, cf FROM td WHERE term LIKE 's%'
 ORDER BY cf DESC, term ASC LIMIT 10
+""",
+        "hits_group_composite": f"""
+WITH {_POS_CTES},
+x AS (
+  SELECT doc_id, coalesce(toks[i + 1], '') AS context
+  FROM pos WHERE tok = '{TERM}'
+)
+SELECT x.context, d.lang, count(*) AS n_hits
+FROM x JOIN documents d USING (doc_id) GROUP BY 1, 2
+""",
+        "events_by_decade": """
+SELECT (floor(year(ts) / 10) * 10)::INT AS decade,
+       count(*) AS n, round(sum(value), 3) AS total_value
+FROM events GROUP BY 1
+""",
+        "sample_fixed": """
+SELECT doc_id FROM documents
+ORDER BY md5('7-' || doc_id::VARCHAR), doc_id LIMIT 25
+""",
+        "span_overlap": f"""
+WITH {_POS_CTES},
+a AS (SELECT doc_id, greatest(i - 2, 0) AS s, least(i + 1, len(toks)) AS e
+      FROM pos WHERE tok = 'join'),
+b AS (SELECT doc_id, greatest(i - 2, 0) AS s, least(i + 1, len(toks)) AS e
+      FROM pos WHERE tok = 'scan')
+SELECT DISTINCT a.doc_id, greatest(a.s, b.s) AS start, least(a.e, b.e) AS "end"
+FROM a JOIN b ON a.doc_id = b.doc_id AND a.s < b.e AND b.s < a.e
+""",
+        "span_andnot": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS start, i + 1 AS "end"
+FROM pos WHERE tok = 'join' AND i + 1 <= len(toks) AND toks[i + 1] != 'scan'
 """,
         "span_sequence_gap": f"""
 WITH {_POS_CTES},

@@ -81,10 +81,16 @@ def minhash_signatures(
 
 
 def lsh_candidate_pairs(
-    sig: DataFrame, num_hashes: int = 16, bands: int = 4
+    sig: DataFrame, num_hashes: int = 16, bands: int = 4,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band the signatures and self-join on (band, band_sig) → candidate
-    (id_a < id_b) pairs. The band-keyed join is the only shuffle."""
+    (id_a < id_b) pairs. The band-keyed join is the only shuffle.
+
+    max_bucket_size bounds the residual quadratic risk: a degenerate bucket
+    of b identical docs yields b·(b-1)/2 pairs; buckets above the cap are
+    dropped before the self-join (their members are exact/near-identical
+    clusters better handled by exact dedup first)."""
     rows_per_band = num_hashes // bands
     banded = sig.select(
         "id",
@@ -95,6 +101,10 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_sig"),
     )
+    if max_bucket_size is not None:
+        sizes = banded.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
+        ok = sizes.filter(F.col("_n") <= max_bucket_size).select("band", "band_sig")
+        banded = banded.join(ok, ["band", "band_sig"], "left_semi")
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -109,12 +119,26 @@ def lsh_candidate_pairs(
     )
 
 
-def exact_jaccard_pairs(sh: DataFrame, min_jaccard: float = 0.0) -> DataFrame:
+def exact_jaccard_pairs(
+    sh: DataFrame, min_jaccard: float = 0.0, max_shingle_df: int | None = None
+) -> DataFrame:
     """Exact n-gram Jaccard for every pair sharing ≥1 shingle.
 
     inverted join on shingle → pair intersection counts; sizes joined in;
     union = |A| + |B| - inter. Only co-shingled pairs are ever materialized.
+
+    max_shingle_df caps the inverted join's fan-out: a shingle appearing in d
+    docs generates d·(d-1)/2 pairs, so one ubiquitous n-gram ("of the and")
+    detonates quadratically at scale. Shingles with document frequency above
+    the cap are dropped BEFORE the join (standard near-dup practice; the
+    intersection then undercounts pairs that only share ubiquitous shingles,
+    which are the pairs one wants to ignore anyway). Sizes are computed on
+    the same capped shingle set so Jaccard stays internally consistent.
     """
+    if max_shingle_df is not None:
+        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
+        keep = freq.filter(F.col("_df") <= max_shingle_df).select("shingle")
+        sh = sh.join(F.broadcast(keep), "shingle", "left_semi")
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
     a = sh.alias("a")
     b = sh.alias("b")

@@ -237,6 +237,42 @@ def sessionize(events: DataFrame, user_col: str = "user_id", ts_col: str = "ts",
     )
 
 
+def group_hits_by_context_and_meta(
+    h: DataFrame, docs: DataFrame, meta_col: str, offset: int = 1
+) -> DataFrame:
+    """Composite grouping key — context word at `offset` after the hit ×
+    a document metadata field (HitPropertyMultiple analog, /root/reference/
+    engine/src/main/java/nl/inl/blacklab/resultproperty/HitPropertyMultiple.java:239,
+    combining HitPropertyAfterHit with DocPropertyStoredField).
+    `docs` must carry both the tokens column and `meta_col`."""
+    joined = h.join(docs.select("doc_id", "tokens", meta_col), "doc_id")
+    ctx = F.coalesce(
+        F.try_element_at("tokens", F.col("pos") + 1 + offset), F.lit("")
+    )
+    return (
+        joined.select(ctx.alias("context"), F.col(meta_col))
+        .groupBy("context", meta_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
+def decade_of(ts_col: str):
+    """Decade bucketing expression (DocPropertyDecade analog, /root/reference/
+    engine/src/main/java/nl/inl/blacklab/resultproperty/DocPropertyDecade.java:12-17)."""
+    return (F.floor(F.year(ts_col) / 10) * 10).cast("int")
+
+
+def sample_fixed_n(df: DataFrame, id_col: str, n: int, seed: int = 0) -> DataFrame:
+    """Seeded fixed-size sample (SampleParameters fixed-n semantics,
+    /root/reference/engine/src/main/java/nl/inl/blacklab/search/results/
+    SampleParameters.java:13-49): order by a seed-keyed md5 of the id and
+    take n. Deterministic at any parallelism and reproducible in any engine
+    (unlike Spark's seeded rand(), whose stream is partitioning-dependent);
+    compiles to TakeOrderedAndProject, no global sort."""
+    key = F.md5(F.concat(F.lit(f"{seed}-"), F.col(id_col).cast("string")))
+    return df.orderBy(key, F.col(id_col)).limit(n)
+
+
 def sample_deterministic(df: DataFrame, id_col: str, rate_num: int, rate_den: int) -> DataFrame:
     """Reproducible sample: keep rows where (id * 2654435761) mod 2^32 falls
     below rate. Knuth multiplicative hash — identical result at any

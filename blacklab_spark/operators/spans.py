@@ -122,6 +122,36 @@ def containing(producer: DataFrame, contained: DataFrame, invert: bool = False) 
     return p.join(c, cond, how).select("p.*")
 
 
+def overlapping(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Overlapping PARTS of spans from both clauses (SpanQueryOverlapping,
+    /root/reference/engine/src/main/java/nl/inl/blacklab/search/lucene/
+    SpanQueryOverlapping.java): for each intersecting (a, b) pair, the
+    intersection interval [max(starts), min(ends))."""
+    aa, bb = a.alias("a"), b.alias("b")
+    return (
+        aa.join(
+            bb,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.start") < F.col("b.end"))
+            & (F.col("b.start") < F.col("a.end")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.greatest("a.start", "b.start").alias("start"),
+            F.least("a.end", "b.end").alias("end"),
+        )
+        .dropDuplicates(SPAN_COLS)
+    )
+
+
+def span_and_not(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Spans of A that do not also occur (same extent) in B — the AND-NOT
+    combination (SpanQueryAndNot, /root/reference/engine/.../lucene/
+    SpanQueryAndNot.java). Anti-join on the full extent keeps duplicates
+    of A (unlike exceptAll, which cancels them pairwise)."""
+    return a.join(b.select(*SPAN_COLS), SPAN_COLS, "left_anti")
+
+
 def expand(spans: DataFrame, docs: DataFrame, left: int = 0, right: int = 0) -> DataFrame:
     """Expand spans left/right, clamped to [0, dl] (SpanQueryExpansion)."""
     out = spans.join(docs.select("doc_id", "dl"), "doc_id")

@@ -93,6 +93,75 @@ def test_sample_and_window(docs):
     assert page == all_hits[2:4]
 
 
+def test_jaccard_shingle_df_cap(spark):
+    """A pathological shingle shared by every doc must not detonate the
+    inverted join: with the cap, pair counts stay bounded."""
+    n = 12
+    pdf = pd.DataFrame({
+        "doc_id": range(n),
+        # every doc shares 'of the and'; each also has a unique tail
+        "text": [f"of the and unique{i} tail{i} word{i}" for i in range(n)],
+    })
+    df = spark.createDataFrame(pdf).withColumn(
+        "tokens",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+(?:'[a-z0-9]+)?"), 0),
+    )
+    sh = dedup.shingles(df, "tokens", "doc_id", n=3)
+    uncapped = dedup.exact_jaccard_pairs(sh).count()
+    assert uncapped == n * (n - 1) // 2  # quadratic without the cap
+    capped = dedup.exact_jaccard_pairs(sh, max_shingle_df=5).count()
+    assert capped == 0  # the ubiquitous shingle is dropped before the join
+
+
+def test_lsh_bucket_size_cap(spark):
+    """A degenerate bucket of identical docs is dropped above the cap."""
+    n = 10
+    pdf = pd.DataFrame({"doc_id": range(n), "text": ["same text here thrice over"] * n})
+    df = spark.createDataFrame(pdf).withColumn(
+        "tokens",
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+(?:'[a-z0-9]+)?"), 0),
+    )
+    sh = dedup.shingles(df, "tokens", "doc_id", n=3)
+    sig = dedup.minhash_signatures(sh, num_hashes=16)
+    assert dedup.lsh_candidate_pairs(sig, 16, 4).count() == n * (n - 1) // 2
+    assert dedup.lsh_candidate_pairs(sig, 16, 4, max_bucket_size=4).count() == 0
+
+
+def test_span_overlap_and_andnot(docs):
+    from blacklab_spark.operators import spans as S
+    d = docs.withColumn("dl", F.size("tokens"))
+    # doc0: the0 quick1 brown2 fox3 jumps4 over5 the6 lazy7 dog8
+    a = S.expand(S.span_term(d, "fox"), d, left=1, right=1)      # [2,5)
+    b = S.expand(S.span_term(d, "jumps"), d, left=1, right=1)    # [3,6)
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in S.overlapping(a, b).collect()
+    )
+    assert got == [(0, 3, 5), (3, 3, 5)]  # overlap part only
+    # and-not: 'the X' bigrams whose X != lazy
+    any1 = d.select(
+        "doc_id", F.posexplode("tokens").alias("pos", "_t")
+    ).select("doc_id", F.col("pos").alias("start"), (F.col("pos") + 1).alias("end"))
+    the_any = S.sequence(S.span_term(d, "the"), any1)
+    the_lazy = S.sequence(S.span_term(d, "the"), S.span_term(d, "lazy"))
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"])
+        for r in S.span_and_not(the_any, the_lazy).collect()
+    )
+    assert (0, 6, 8) not in got and (0, 0, 2) in got
+
+
+def test_sample_fixed_n(docs):
+    s1 = sorted(r["doc_id"] for r in grouping.sample_fixed_n(docs, "doc_id", 3, seed=7).collect())
+    s2 = sorted(r["doc_id"] for r in grouping.sample_fixed_n(docs.repartition(5), "doc_id", 3, seed=7).collect())
+    assert s1 == s2 and len(s1) == 3  # deterministic across partitionings
+    exp = sorted(
+        range(len(TEXTS)),
+        key=lambda i: (hashlib.md5(f"7-{i}".encode()).hexdigest(), i),
+    )[:3]
+    assert s1 == sorted(exp)
+
+
 def test_dedup_exact(docs):
     got = sorted((r["kept_id"], r["group_size"]) for r in
                  dedup.dedup_exact(docs, "text", "doc_id").collect())
