@@ -34,6 +34,7 @@ def main():
     from blacklab_spark.build import build_index
     from blacklab_spark.corpus import Corpus
     from blacklab_spark.datagen import make_transcripts
+    from blacklab_spark.operators.grouping import collocations_hits
 
     spark = get_spark("bench", cores=cpus, shuffle_partitions=max(cpus, 8))
 
@@ -74,8 +75,21 @@ def main():
         timed("q_term_high", lambda: c.search_or(["the"], k=10).collect())
         timed("q_or3", lambda: c.search_or(["w0100", "w0200", "w0300"], k=10).collect())
         timed("q_or_stop", lambda: c.search_or(["the", "of", "and"], k=10).collect())
+        timed("q_and", lambda: c.search_and(["the", "w0050"], k=10).collect())
+        timed("q_regex", lambda: c.search("w001*", k=10).collect())
         timed("q_phrase", lambda: c.search_phrase(["the", "of"], k=10).collect())
         timed("q_term_k1000", lambda: c.search_or(["w0050"], k=1000).collect())
+        timed(
+            "q_span_seq",
+            lambda: c.find_cql('"the" []{0,2} "of"').count(),
+        )
+        timed(
+            "q_colloc",
+            lambda: collocations_hits(
+                c.spans_term("w0100").selectExpr("doc_id", "start as pos"),
+                c.docs, 2,
+            ).collect(),
+        )
         timed(
             "q_group_meta",
             lambda: c.docs.groupBy("role").count().collect(),

@@ -335,56 +335,50 @@ class Corpus:
         tinfo = self.lookup_terms(terms)
         if tinfo.empty:
             return self.spark.createDataFrame([], "doc_id long, score double")
-        decoded = self._decoded_scores(tinfo, k_hint=k if len(tinfo) == 1 else None)
         if len(tinfo) == 1:
+            decoded = self._decoded_scores(tinfo, k_hint=k)
             return decoded.select("doc_id", F.col("contrib").alias("score"))
-        # deterministic fold: sort contribution structs by term-string rank
-        # and left-fold — fixed float64 summation order (oracle-identical)
-        t_ord = self._term_order_map(tinfo)[F.col("term_id")]
-        return (
-            decoded.groupBy("doc_id")
-            .agg(F.array_sort(F.collect_list(F.struct(t_ord.alias("t_ord"), "contrib"))).alias("cs"))
-            .select(
-                "doc_id",
-                F.aggregate(
-                    "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
-                ).alias("score"),
-            )
-        )
+        return self._range_scores(tinfo, k, conjunctive=False)
 
     def search_or(self, terms: list[str], k: int = 10) -> DataFrame:
-        tinfo = self.lookup_terms(terms)
-        if tinfo.empty:
-            return self.spark.createDataFrame([], "doc_id long, score double")
-        if len(tinfo) > 1:
-            return self._topk_or_multi(tinfo, k)
         return (
             self.score_or(terms, k=k)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
 
-    def _topk_or_multi(self, tinfo: pd.DataFrame, k: int) -> DataFrame:
-        """Multi-term block-max WAND, doc-range partitioned (SURVEY §7.2 item 6).
+    def _range_scores(
+        self, tinfo: pd.DataFrame, k: int | None, conjunctive: bool
+    ) -> DataFrame:
+        """Doc-range-partitioned scorer — the shared physical strategy for
+        multi-term OR (with block-max WAND when k is given) and AND.
 
         The query terms' posting blocks are re-keyed by docID RANGE so every
         doc's FULL score is computable inside one partition (a block that
         straddles a range boundary is replicated to both ranges and its
-        decoded docs filtered to the range). Within a partition terms are
-        visited rarest-first; a growing threshold θ — the k-th best
-        accumulated partial score, a lower bound of the k-th final score —
-        prunes any block whose block_max_score plus the sum of the OTHER
-        terms' range-local maxima cannot reach θ. No doc in such a block can
-        reach the final top-k (its total is bounded by that same sum), so
-        skipping never corrupts a reported score: emitted scores are exact,
-        term-string-ordered folds, bitwise equal to the oracle.
+        decoded docs filtered to the range). Per partition, terms are visited
+        rarest-first (ClauseCombinerNfa's cost ordering, /root/reference/
+        engine/src/main/java/nl/inl/blacklab/search/lucene/optimize/
+        ClauseCombinerNfa.java:144-201):
 
-        Reference cost-ordering analog: ClauseCombinerNfa
-        (/root/reference/engine/src/main/java/nl/inl/blacklab/search/lucene/
-        optimize/ClauseCombinerNfa.java:144-201); rarest-first is WAND's term
-        ordering. Scale shape: ONE shuffle of the queried terms' blocks keyed
-        on doc range, partition-local numpy scoring, then a global
-        TakeOrderedAndProject over (n_ranges × k) rows.
+        * OR + k: block-max WAND. A growing threshold θ — the k-th best
+          accumulated partial score, a lower bound of the k-th final score —
+          prunes any block whose block_max_score plus the sum of the OTHER
+          terms' range-local maxima cannot reach θ. No doc in such a block
+          can reach the final top-k, so skipping never corrupts a reported
+          score.
+        * OR, no k: same partition-local numpy fold, no pruning, all rows.
+        * AND: the rarest term's decoded docs form the candidate set; each
+          subsequent term skips blocks whose [first_doc_id, last_doc_id]
+          window contains no candidate (searchsorted) and intersects the
+          candidates — a stop-word MUST clause decodes only the blocks that
+          overlap the rare term's docs.
+
+        Emitted scores are exact term-string-ordered float64 left-folds,
+        bitwise equal to the oracle. Scale shape: ONE shuffle of the queried
+        terms' blocks keyed on doc range, partition-local numpy scoring, then
+        either a TakeOrderedAndProject over (n_ranges × k) rows (k given) or
+        a plain union of per-range results.
         """
         import math as _math
 
@@ -401,14 +395,17 @@ class Corpus:
         }
         avgdl = self.avgdl
         # stale bounds after an append: block_max_score is no longer an upper
-        # bound, so visit every block (scores recomputed from tf/dl stay exact)
-        prune = not self.meta.get("bounds_stale", False)
+        # bound, so WAND pruning is off (scores stay exact regardless)
+        prune = (
+            k is not None and not conjunctive
+            and not self.meta.get("bounds_stale", False)
+        )
         n_ranges = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         R = max(1, -(-self.n_docs // n_ranges))
-        kk = int(k)
+        kk = int(k) if k is not None else None
 
         blocks = self.postings.filter(F.col("term_id").isin(term_ids)).select(
-            "term_id", "first_doc_id", "doc_gaps", "tfs", "dls",
+            "term_id", "first_doc_id", "last_doc_id", "doc_gaps", "tfs", "dls",
             "block_max_score",
             F.explode(
                 F.sequence(
@@ -418,63 +415,111 @@ class Corpus:
             ).alias("rng"),
         )
 
+        empty_pdf = pd.DataFrame(
+            {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
+        )
+
+        def _decode_group(g, lo, hi, tid):
+            dd, tt, ll = [], [], []
+            for row in g.itertuples():  # loop over BLOCKS, not postings
+                d, t, l = codecs.decode_block({
+                    "first_doc_id": row.first_doc_id,
+                    "doc_gaps": row.doc_gaps,
+                    "tfs": row.tfs,
+                    "dls": row.dls,
+                })
+                dd.append(d)
+                tt.append(t)
+                ll.append(l)
+            d = np.concatenate(dd)
+            m = (d >= lo) & (d < hi)
+            d = d[m]
+            contrib = scoring.bm25(
+                np.concatenate(tt)[m], np.concatenate(ll)[m], avgdl, idf_map[tid]
+            )
+            return d, contrib
+
         def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * R, (rng + 1) * R
             by_term = {int(tid): g for tid, g in pdf.groupby("term_id")}
+            if conjunctive and set(term_ids) - set(by_term):
+                return empty_pdf  # a MUST term absent from this range
             ub = {tid: float(g["block_max_score"].max()) for tid, g in by_term.items()}
             sum_ub = sum(ub.values())
             theta = -_math.inf
-            docs_parts, ord_parts, contrib_parts = [], [], []
+            cands = None  # conjunctive running intersection (sorted unique)
+            parts: list[tuple[int, np.ndarray, np.ndarray]] = []
             order = sorted(by_term, key=lambda tid: (df_map[tid], t_ord[tid]))
             for tid in order:
                 g = by_term[tid]
+                if conjunctive and cands is not None:
+                    if cands.size == 0:
+                        return empty_pdf
+                    # skip blocks whose doc window holds no candidate
+                    fi = g["first_doc_id"].to_numpy()
+                    la = g["last_doc_id"].to_numpy()
+                    li = np.searchsorted(cands, fi)
+                    keep = li < cands.size
+                    keep &= np.where(
+                        keep, cands[np.minimum(li, cands.size - 1)] <= la, False
+                    )
+                    g = g[keep]
+                    if len(g) == 0:
+                        return empty_pdf
                 if prune and theta > -_math.inf:
                     slack = abs(theta) * 1e-12 + 1e-12  # fp-safety margin
                     bound = g["block_max_score"].to_numpy() + (sum_ub - ub[tid])
                     g = g[bound >= theta - slack]
                 if len(g) == 0:
                     continue
-                dd, tt, ll = [], [], []
-                for row in g.itertuples():  # loop over BLOCKS, not postings
-                    d, t, l = codecs.decode_block({
-                        "first_doc_id": row.first_doc_id,
-                        "doc_gaps": row.doc_gaps,
-                        "tfs": row.tfs,
-                        "dls": row.dls,
-                    })
-                    dd.append(d)
-                    tt.append(t)
-                    ll.append(l)
-                d = np.concatenate(dd)
-                m = (d >= lo) & (d < hi)
-                if not m.any():
+                d, contrib = _decode_group(g, lo, hi, tid)
+                if conjunctive and cands is not None:
+                    idx = np.searchsorted(cands, d)
+                    memb = idx < cands.size
+                    memb &= np.where(
+                        memb, cands[np.minimum(idx, cands.size - 1)] == d, False
+                    )
+                    d, contrib = d[memb], contrib[memb]
+                if d.size == 0:
+                    if conjunctive:
+                        return empty_pdf
                     continue
-                d = d[m]
-                contrib = scoring.bm25(
-                    np.concatenate(tt)[m], np.concatenate(ll)[m], avgdl, idf_map[tid]
-                )
-                docs_parts.append(d)
-                contrib_parts.append(contrib)
-                ord_parts.append(np.full(d.size, t_ord[tid], dtype=np.int64))
-                if prune:
+                parts.append((tid, d, contrib))
+                if conjunctive:
+                    ds = np.sort(d)
+                    cands = ds if cands is None else ds  # d already ∩ cands
+                elif prune:
                     # θ update: k-th best accumulated partial. Order-free sums
                     # are fine here — θ only gates pruning, never a reported
                     # score (those are re-folded exactly below).
-                    ad = np.concatenate(docs_parts)
-                    ac = np.concatenate(contrib_parts)
+                    ad = np.concatenate([p[1] for p in parts])
+                    ac = np.concatenate([p[2] for p in parts])
                     ud, inv = np.unique(ad, return_inverse=True)
                     if ud.size >= kk:
                         sums = np.zeros(ud.size)
                         np.add.at(sums, inv, ac)
                         theta = float(np.partition(sums, ud.size - kk)[ud.size - kk])
-            if not docs_parts:
-                return pd.DataFrame(
-                    {"doc_id": pd.Series(dtype="int64"), "score": pd.Series(dtype="float64")}
-                )
-            d = np.concatenate(docs_parts)
-            o = np.concatenate(ord_parts)
-            c = np.concatenate(contrib_parts)
+            if not parts:
+                return empty_pdf
+            if conjunctive:
+                if cands is None or cands.size == 0:
+                    return empty_pdf
+                # keep only docs surviving the FULL intersection
+                fparts = []
+                for tid, d, contrib in parts:
+                    idx = np.searchsorted(cands, d)
+                    memb = idx < cands.size
+                    memb &= np.where(
+                        memb, cands[np.minimum(idx, cands.size - 1)] == d, False
+                    )
+                    fparts.append((tid, d[memb], contrib[memb]))
+                parts = fparts
+            d = np.concatenate([p[1] for p in parts])
+            o = np.concatenate([
+                np.full(p[1].size, t_ord[p[0]], dtype=np.int64) for p in parts
+            ])
+            c = np.concatenate([p[2] for p in parts])
             srt = np.lexsort((o, d))
             d, c = d[srt], c[srt]
             ud, starts, counts = np.unique(d, return_index=True, return_counts=True)
@@ -483,40 +528,34 @@ class Corpus:
             for j in range(int(counts.max())):
                 sel = counts > j
                 score[sel] += c[starts[sel] + j]
-            topk = np.lexsort((ud, -score))[:kk]
-            return pd.DataFrame(
-                {"doc_id": ud[topk].astype("int64"), "score": score[topk]}
-            )
+            if kk is not None and ud.size > kk:
+                topk = np.lexsort((ud, -score))[:kk]
+                ud, score = ud[topk], score[topk]
+            return pd.DataFrame({"doc_id": ud.astype("int64"), "score": score})
 
         scored = blocks.groupBy("rng").applyInPandas(
             score_range, schema="doc_id long, score double"
         )
+        if kk is None:
+            return scored
         return scored.orderBy(F.desc("score"), F.asc("doc_id")).limit(kk)
 
-    def score_and(self, terms: list[str]) -> DataFrame:
+    def score_and(self, terms: list[str], k: int | None = None) -> DataFrame:
         """Conjunctive BooleanQuery (all MUST clauses): only docs containing
         EVERY query term, scored as the same per-term BM25 sum. Token-level
-        AND-semantics analog of SpanQueryAnd at the doc level."""
+        AND-semantics analog of SpanQueryAnd at the doc level.
+
+        Physical strategy: _range_scores(conjunctive=True) — the rarest term
+        drives; a stop-word MUST clause decodes only blocks overlapping the
+        rare term's docs (the FiSeq anchor-then-verify insight at doc level)."""
         uniq = sorted(set(terms))
         tinfo = self.lookup_terms(uniq)
         if len(tinfo) < len(uniq):  # a missing term empties the conjunction
             return self.spark.createDataFrame([], "doc_id long, score double")
-        decoded = self._decoded_scores(tinfo)
-        t_ord = self._term_order_map(tinfo)[F.col("term_id")]
-        return (
-            decoded.groupBy("doc_id")
-            .agg(
-                F.countDistinct("term_id").alias("_nt"),
-                F.array_sort(F.collect_list(F.struct(t_ord.alias("t_ord"), "contrib"))).alias("cs"),
-            )
-            .filter(F.col("_nt") == F.lit(len(uniq)))
-            .select(
-                "doc_id",
-                F.aggregate(
-                    "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
-                ).alias("score"),
-            )
-        )
+        if len(tinfo) == 1:
+            decoded = self._decoded_scores(tinfo, k_hint=k)
+            return decoded.select("doc_id", F.col("contrib").alias("score"))
+        return self._range_scores(tinfo, k, conjunctive=True)
 
     def score_and_groups(self, groups: list[list[str]]) -> DataFrame:
         """Conjunction of OR-groups — a BooleanQuery whose MUST clauses may be
@@ -565,7 +604,7 @@ class Corpus:
 
     def search_and(self, terms: list[str], k: int = 10) -> DataFrame:
         return (
-            self.score_and(terms)
+            self.score_and(terms, k=k)
             .orderBy(F.desc("score"), F.asc("doc_id"))
             .limit(k)
         )
