@@ -508,6 +508,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.signlsh_topk(emb, [float(x) for x in qv], k=K, num_planes=8)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    # rows-only: IVF ANN (coarse k-means cells + nprobe re-rank)
+    def ann_ivf_topk(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
+        return similarity.ivf_topk(
+            emb, [float(x) for x in qv], k=K, n_centroids=16, nprobe=4
+        ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+
     return {
         "bm25_term_scores": bm25_term_scores,
         "bm25_topk_term": bm25_topk_term,
@@ -558,6 +566,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cql_tokexpr": span_cql_tokexpr,
         "fuzzy_expand": fuzzy_expand,
         "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
     }
 
 

@@ -116,6 +116,73 @@ def signlsh_topk(
     return cosine_topk(sub, query_vec, k, id_col, vec_col)
 
 
+def ivf_train_centroids(
+    emb: DataFrame, n_centroids: int = 16, sample_n: int = 10000,
+    iters: int = 10, seed: int = 1, vec_col: str = "embedding",
+) -> np.ndarray:
+    """Coarse quantizer for IVF: spherical k-means trained driver-side on a
+    bounded deterministic sample (standard IVF practice — at 100 TB the
+    training sample is still small; only the ASSIGNMENT pass is distributed).
+    Returns (n_centroids, dim) float64, L2-normalized rows."""
+    frac_rows = emb.select(vec_col).limit(sample_n).collect()
+    X = np.array([r[0] for r in frac_rows], dtype="float64")
+    X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    C = X[rng.choice(len(X), size=min(n_centroids, len(X)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for j in range(len(C)):
+            m = assign == j
+            if m.any():
+                v = X[m].mean(axis=0)
+                C[j] = v / max(np.linalg.norm(v), 1e-12)
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell): nearest-centroid assignment. One Arrow-batched pandas UDF
+    doing a single matmul per batch (the centroid matrix rides in the UDF
+    closure — broadcast by value); this is the only distributed IVF pass and
+    it is embarrassingly parallel."""
+    C = np.ascontiguousarray(centroids, dtype="float64")
+
+    @F.pandas_udf("int")
+    def nearest(vs):
+        import pandas as pd  # noqa: F811 — executor-side import
+        M = np.stack(vs.to_numpy())
+        M = M / np.maximum(np.linalg.norm(M, axis=1, keepdims=True), 1e-12)
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype("int32"))
+
+    return emb.select(F.col(id_col).alias("id"), nearest(F.col(vec_col)).alias("cell"))
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: list[float], k: int = 10,
+    centroids: np.ndarray | None = None, nprobe: int = 4,
+    assign: DataFrame | None = None, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN top-k: probe the nprobe cells nearest the query (driver-side
+    argmax over the small centroid matrix), exact cosine re-rank on the
+    candidate cells only. With nprobe == n_centroids this degrades to exact
+    brute force (the recall-1.0 end of the knob). `centroids`/`assign` may be
+    precomputed (the production path: train + assign once, reuse per query)."""
+    if centroids is None:
+        centroids = ivf_train_centroids(emb, n_centroids, vec_col=vec_col)
+    if assign is None:
+        assign = ivf_assign(emb, centroids, id_col, vec_col)
+    q = np.asarray(query_vec, dtype="float64")
+    q = q / max(np.linalg.norm(q), 1e-12)
+    sims = centroids @ q
+    probe = [int(i) for i in np.argsort(-sims)[: min(nprobe, len(centroids))]]
+    cand = assign.filter(F.col("cell").isin(probe)).select("id")
+    sub = emb.join(cand, emb[id_col] == cand["id"], "left_semi")
+    return cosine_topk(sub, query_vec, k, id_col, vec_col)
+
+
 def cosine_near_pairs(
     emb: DataFrame, threshold: float = 0.9, num_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -221,6 +221,29 @@ def test_cosine_topk(spark):
     assert len(set(ann) & set(order)) >= 2
 
 
+def test_ivf_topk(spark):
+    rng = np.random.default_rng(5)
+    centers = rng.normal(size=(3, 16)) * 5
+    vecs = np.stack([centers[i % 3] + rng.normal(size=16) * 0.1 for i in range(90)])
+    pdf = pd.DataFrame({
+        "vec_id": range(90),
+        "embedding": [v.astype("float32").tolist() for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf)
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()]
+    C = similarity.ivf_train_centroids(emb, n_centroids=3, seed=2)
+    asn = similarity.ivf_assign(emb, C)
+    # probing every cell degrades to exact brute force — identical top-k
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(emb, q, 10, centroids=C, assign=asn, nprobe=3).collect()]
+    assert full == exact
+    # probing one cell keeps same-cluster recall high on separated clusters
+    p1 = [r["vec_id"] for r in
+          similarity.ivf_topk(emb, q, 10, centroids=C, assign=asn, nprobe=1).collect()]
+    assert len(set(p1) & set(exact)) >= 8
+
+
 def test_textstats(spark, docs):
     tc = {r["id"]: (r["n_ws_tokens"], r["n_re_tokens"], r["n_chars"])
           for r in textstats.token_counts(docs, "text", "doc_id").collect()}
