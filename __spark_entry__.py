@@ -287,6 +287,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = grouping.kwic_hits(_hits_from_index(c, TERM), c.docs, context=2)
         return _to_orig(c, out, "pos", "left", "match", "right")
 
+    def highlight(spark, sf_dir):
+        c = _corpus(spark, sf_dir)
+        out = grouping.highlight_snippets(
+            _hits_from_index(c, TERM), c.docs, context=2
+        )
+        return _to_orig(c, out, "pos", "snippet")
+
     def sample_docs(spark, sf_dir):
         d = _load_documents(spark, sf_dir)
         return grouping.sample_deterministic(d, "doc_id", 1, 10).select("doc_id")
@@ -530,6 +537,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_by_lang": hits_by_lang,
         "collocations": collocations,
         "kwic": kwic,
+        "highlight": highlight,
         "sample_docs": sample_docs,
         "hits_page": hits_page,
         "dedup_exact": dedup_exact,
@@ -635,6 +643,16 @@ SELECT doc_id, i - 1 AS pos,
        coalesce(array_to_string(toks[greatest(1, i - 2):i - 1], ' '), '') AS left,
        tok AS match,
        coalesce(array_to_string(toks[i + 1:least(len(toks), i + 2)], ' '), '') AS right
+FROM pos WHERE tok = '{TERM}'
+""",
+        "highlight": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS pos,
+       concat_ws(' ',
+         nullif(coalesce(array_to_string(toks[greatest(1, i - 2):i - 1], ' '), ''), ''),
+         '<<' || tok || '>>',
+         nullif(coalesce(array_to_string(toks[i + 1:least(len(toks), i + 2)], ' '), ''), '')
+       ) AS snippet
 FROM pos WHERE tok = '{TERM}'
 """,
         "sample_docs": """

@@ -133,6 +133,26 @@ def kwic(docs: DataFrame, term: str, context: int = 2) -> DataFrame:
     return kwic_hits(hits(docs, term), docs, context)
 
 
+def highlight_snippets(
+    h: DataFrame, docs: DataFrame, context: int = 2,
+    pre: str = "<<", post: str = ">>",
+) -> DataFrame:
+    """Plain-text hit highlighting: (doc_id, pos, snippet) with the matched
+    token wrapped in pre/post markers inside its context window — the
+    snippet/highlight surface (ResultDocSnippet / XmlHighlighter analog,
+    /root/reference/wslib/src/main/java/nl/inl/blacklab/server/lib/results/
+    ResultDocSnippet.java; transcripts carry no XML, so markers suffice)."""
+    k = kwic_hits(h, docs, context)
+    blank_null = lambda c: F.when(F.col(c) == "", None).otherwise(F.col(c))
+    snippet = F.concat_ws(
+        " ",
+        blank_null("left"),
+        F.concat(F.lit(pre), F.col("match"), F.lit(post)),
+        blank_null("right"),
+    )
+    return k.select("doc_id", "pos", snippet.alias("snippet"))
+
+
 def sort_hits_by_context_hits(
     h: DataFrame, docs: DataFrame, offset: int = 1, limit: int | None = None
 ) -> DataFrame:
