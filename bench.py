@@ -66,34 +66,35 @@ def main():
         c = Corpus(spark, idx_dir)
 
         # ---- query set (FIXTURES.md §4 shapes) ----
-        def timed(name, fn):
+        qset = [
+            ("q_term_low", lambda: c.search_or(["w4999"], k=10).collect()),
+            ("q_term_high", lambda: c.search_or(["the"], k=10).collect()),
+            ("q_or3", lambda: c.search_or(["w0100", "w0200", "w0300"], k=10).collect()),
+            ("q_or_stop", lambda: c.search_or(["the", "of", "and"], k=10).collect()),
+            ("q_and", lambda: c.search_and(["the", "w0050"], k=10).collect()),
+            ("q_regex", lambda: c.search("w001*", k=10).collect()),
+            ("q_phrase", lambda: c.search_phrase(["the", "of"], k=10).collect()),
+            ("q_term_k1000", lambda: c.search_or(["w0050"], k=1000).collect()),
+            ("q_span_seq", lambda: c.find_cql('"the" []{0,2} "of"').count()),
+            ("q_colloc", lambda: collocations_hits(
+                c.spans_term("w0100").selectExpr("doc_id", "start as pos"),
+                c.docs, 2,
+            ).collect()),
+            ("q_group_meta", lambda: c.docs.groupBy("role").count().collect()),
+        ]
+        for name, fn in qset:
             t = time.time()
             fn()
             queries[name] = round(time.time() - t, 4)
 
-        timed("q_term_low", lambda: c.search_or(["w4999"], k=10).collect())
-        timed("q_term_high", lambda: c.search_or(["the"], k=10).collect())
-        timed("q_or3", lambda: c.search_or(["w0100", "w0200", "w0300"], k=10).collect())
-        timed("q_or_stop", lambda: c.search_or(["the", "of", "and"], k=10).collect())
-        timed("q_and", lambda: c.search_and(["the", "w0050"], k=10).collect())
-        timed("q_regex", lambda: c.search("w001*", k=10).collect())
-        timed("q_phrase", lambda: c.search_phrase(["the", "of"], k=10).collect())
-        timed("q_term_k1000", lambda: c.search_or(["w0050"], k=1000).collect())
-        timed(
-            "q_span_seq",
-            lambda: c.find_cql('"the" []{0,2} "of"').count(),
-        )
-        timed(
-            "q_colloc",
-            lambda: collocations_hits(
-                c.spans_term("w0100").selectExpr("doc_id", "start as pos"),
-                c.docs, 2,
-            ).collect(),
-        )
-        timed(
-            "q_group_meta",
-            lambda: c.docs.groupBy("role").count().collect(),
-        )
+        # serving mode: pin postings/docs in executor memory (Corpus.preload,
+        # the open-IndexReader analog) and re-run — steady-state QPS
+        queries_warm: dict[str, float] = {}
+        c.preload()
+        for name, fn in qset:
+            t = time.time()
+            fn()
+            queries_warm[name] = round(time.time() - t, 4)
 
         total = round(build_sec + sum(queries.values()), 4)
         out = {
@@ -101,6 +102,8 @@ def main():
             "value": total,
             "unit": "sec",
             "queries": queries,
+            "queries_warm": queries_warm,
+            "qps_warm": round(len(queries_warm) / max(sum(queries_warm.values()), 1e-9), 2),
             "sf": sf,
             "cpus": cpus,
             "build": {

@@ -64,7 +64,7 @@ class Corpus:
     # ------------------------------------------------------------ tables --
     @property
     def docs(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.docs)
+        return getattr(self, "_docs_df", None) or self.spark.read.parquet(self.paths.docs)
 
     @property
     def term_dict(self) -> DataFrame:
@@ -72,7 +72,31 @@ class Corpus:
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        return getattr(self, "_postings_df", None) or self.spark.read.parquet(
+            self.paths.postings
+        )
+
+    def preload(self) -> "Corpus":
+        """Serving mode: pin the postings + docs tables in executor memory so
+        repeated queries skip the parquet scan — the analog of BlackLab
+        holding an open IndexReader. Like a Lucene reader, the preloaded
+        corpus is a point-in-time SNAPSHOT: an add_to_index after preload is
+        not visible until a fresh Corpus is opened. Term-dict lookups were
+        already cached driver-side (lookup_terms)."""
+        if getattr(self, "_preloaded", False):
+            return self
+        from pyspark import StorageLevel
+
+        self._postings_df = self.spark.read.parquet(self.paths.postings).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._postings_df.count()
+        self._docs_df = self.spark.read.parquet(self.paths.docs).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        self._docs_df.count()
+        self._preloaded = True
+        return self
 
     def doc_lengths(self) -> DataFrame:
         return self.docs.select("doc_id", "dl")
