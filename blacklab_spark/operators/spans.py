@@ -186,6 +186,65 @@ def repetition(base: DataFrame, min_rep: int, max_rep: int) -> DataFrame:
     return out.dropDuplicates(SPAN_COLS)
 
 
+def any_ngrams(docs: DataFrame, min_len: int, max_len: int) -> DataFrame:
+    """All min..max-token spans per doc from exact doc lengths — the
+    SpanQueryAnyToken generator (needs a `dl` column; no token scan)."""
+    assert min_len >= 1
+    return (
+        docs.select("doc_id", "dl",
+                    F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("L"))
+        .filter(F.col("dl") >= F.col("L"))
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0), F.col("dl") - F.col("L"))).alias("s"),
+            "L",
+        )
+        .select(
+            "doc_id",
+            F.col("s").cast("int").alias("start"),
+            (F.col("s") + F.col("L")).cast("int").alias("end"),
+        )
+    )
+
+
+def filter_ngrams(
+    hits_df: DataFrame, docs: DataFrame, min_len: int, max_len: int,
+    mode: str = "containing",
+) -> DataFrame:
+    """All n-grams of length min..max that CONTAIN (or are WITHIN) a hit —
+    SpanQueryFilterNGrams (/root/reference/engine/src/main/java/nl/inl/
+    blacklab/search/lucene/SpanQueryFilterNGrams.java): the n-gram generator
+    composed with the position filter."""
+    grams = any_ngrams(docs, min_len, max_len)
+    if mode == "containing":
+        return containing(grams, hits_df)
+    if mode == "within":
+        return within(grams, hits_df)
+    raise ValueError(mode)
+
+
+def adjust_hits(spans: DataFrame, start_adj: int = 0, end_adj: int = 0) -> DataFrame:
+    """Shift span edges by fixed amounts (SpanQueryAdjustHits)."""
+    return spans.select(
+        "doc_id",
+        (F.col("start") + start_adj).cast("int").alias("start"),
+        (F.col("end") + end_adj).cast("int").alias("end"),
+    ).filter((F.col("start") >= 0) & (F.col("end") >= F.col("start")))
+
+
+def fixed_span(docs: DataFrame, start: int, end: int) -> DataFrame:
+    """The same constant span in every doc long enough (SpanQueryFixedSpan)."""
+    return docs.filter(F.col("dl") >= end).select(
+        "doc_id", F.lit(start).cast("int").alias("start"),
+        F.lit(end).cast("int").alias("end"),
+    )
+
+
+def no_hits(spark) -> DataFrame:
+    """The empty span set (SpanQueryNoHits)."""
+    return spark.createDataFrame([], "doc_id long, start int, end int")
+
+
 def filter_by_length(spans: DataFrame, min_len: int = 0, max_len: int | None = None) -> DataFrame:
     ln = F.col("end") - F.col("start")
     out = spans.filter(ln >= min_len)

@@ -345,22 +345,7 @@ class CqlCompiler:
     def _any_ngrams(self, m: int, n: int) -> DataFrame:
         """All m..n-token spans per doc, generated from exact doc lengths
         (SpanQueryAnyToken analog) — no token scan, just dl arithmetic."""
-        assert m >= 1
-        dl = self.c.doc_lengths()
-        return (
-            dl.select("doc_id", "dl", F.explode(F.sequence(F.lit(m), F.lit(n))).alias("L"))
-            .filter(F.col("dl") >= F.col("L"))
-            .select(
-                "doc_id",
-                F.explode(F.sequence(F.lit(0), F.col("dl") - F.col("L"))).alias("start"),
-                "L",
-            )
-            .select(
-                "doc_id",
-                F.col("start").cast("int").alias("start"),
-                (F.col("start") + F.col("L")).cast("int").alias("end"),
-            )
-        )
+        return S.any_ngrams(self.c.doc_lengths(), m, n)
 
     def _tok_spans(self, expr) -> DataFrame:
         if isinstance(expr, TokClause):
@@ -549,7 +534,10 @@ class CqlCompiler:
 
 
 def find_cql(corpus, query: str) -> DataFrame:
-    """Parse + compile a BCQL query over a built corpus: the BlackLab
-    find(CorpusQueryLanguageParser.parse(q)) path (/root/reference/
-    query-parser/.../CorpusQueryLanguageParser.java:28)."""
-    return CqlCompiler(corpus).compile(parse_cql(query))
+    """Parse + rewrite + compile a BCQL query over a built corpus: the
+    BlackLab find(CorpusQueryLanguageParser.parse(q)) path (/root/reference/
+    query-parser/.../CorpusQueryLanguageParser.java:28) with the planner
+    rewrite pass (plans/rewrite.py) in between."""
+    from blacklab_spark.plans.rewrite import rewrite
+
+    return CqlCompiler(corpus).compile(rewrite(parse_cql(query)))

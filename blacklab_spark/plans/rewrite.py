@@ -1,0 +1,106 @@
+"""CQL AST rewrite rules — the planner-side optimizer pass.
+
+A small fixpoint rule engine over the parsed BCQL tree, mirroring the
+reference's rewrite catalog (/root/reference/doc/technical/query rewriting.md;
+driver loop BLSpanQuery.optimize/rewrite, /root/reference/engine/src/main/
+java/nl/inl/blacklab/search/lucene/BLSpanQuery.java:170-175; ClauseCombiner
+priority loop /root/reference/engine/.../lucene/SpanQuerySequence.java:296-340):
+
+  flatten          SEQ(A, SEQ(B, C)) → SEQ(A, B, C)        ("Flatten")
+  unwrap_group     (A){m,n} → A{m,n} when the group is one unquantified,
+                   unlabeled unit                          (repetition simpl.)
+  combine_reps     A{a,b} A{c,d} → A{a+c, b+d} for adjacent identical,
+                   unlabeled atoms                         ("CCRepetition")
+  merge_gaps       []{a,b} []{c,d} → []{a+c, b+d}          (gap coalescing)
+  drop_empty_gap   []{0,0} removed from sequences
+
+Rules run to a fixpoint, exactly like the reference ("Rewrites iterate until
+nothing changes", query rewriting.md:13). The compiler consumes the rewritten
+tree; results are identical by construction — the rules only reshape the plan
+(fewer joins: one repetition self-join instead of N-1 sequence joins, one gap
+join instead of two).
+"""
+
+from __future__ import annotations
+
+from blacklab_spark.plans.cql import (
+    AnyToken,
+    ConstrainedNode,
+    PosFilterNode,
+    SeqNode,
+    Unit,
+)
+
+
+def _rewrite_units(units: tuple) -> tuple | None:
+    """One pass over a unit list; returns the new tuple or None if unchanged."""
+    out = []
+    changed = False
+    for u in units:
+        node = rewrite(u.node)
+        if node is not u.node:
+            u = Unit(node, u.m, u.n, u.label)
+            changed = True
+        # drop []{0,0}
+        if isinstance(u.node, AnyToken) and u.label is None and (u.m, u.n) == (0, 0):
+            changed = True
+            continue
+        # flatten: an unquantified, unlabeled SEQ unit splices its units in
+        if isinstance(u.node, SeqNode) and (u.m, u.n) == (1, 1) and u.label is None:
+            out.extend(u.node.units)
+            changed = True
+            continue
+        # unwrap_group: (A){m,n} → A{m,n} when the group is one plain unit
+        if (
+            isinstance(u.node, SeqNode)
+            and len(u.node.units) == 1
+            and u.node.units[0].label is None
+            and (u.node.units[0].m, u.node.units[0].n) == (1, 1)
+        ):
+            u = Unit(u.node.units[0].node, u.m, u.n, u.label)
+            changed = True
+        # combine_reps / merge_gaps: fold into the previous unit when the
+        # atom is identical (and neither side is captured)
+        if out:
+            p = out[-1]
+            same_atom = (
+                p.label is None and u.label is None
+                and (
+                    (isinstance(p.node, AnyToken) and isinstance(u.node, AnyToken))
+                    or p.node == u.node
+                )
+            )
+            if same_atom:
+                out[-1] = Unit(p.node, p.m + u.m, p.n + u.n, None)
+                changed = True
+                continue
+        out.append(u)
+    return tuple(out) if changed else None
+
+
+def rewrite(node):
+    """Rewrite to fixpoint. Frozen dataclasses compare by value, so the
+    fixpoint check is plain equality."""
+    while True:
+        if isinstance(node, SeqNode):
+            nu = _rewrite_units(node.units)
+            if nu is None:
+                return node
+            node = SeqNode(nu)
+        elif isinstance(node, PosFilterNode):
+            p, f = rewrite(node.producer), rewrite(node.filt)
+            if p is node.producer and f is node.filt:
+                return node
+            node = PosFilterNode(p, f, node.op, node.invert)
+        elif isinstance(node, ConstrainedNode):
+            q = rewrite(node.q)
+            if q is node.q:
+                return node
+            node = ConstrainedNode(q, node.conditions)
+        elif isinstance(node, tuple) and node and node[0] == "alt":
+            alts = tuple(rewrite(a) for a in node[1])
+            if all(a is b for a, b in zip(alts, node[1])):
+                return node
+            node = ("alt", alts)
+        else:
+            return node

@@ -101,3 +101,60 @@ def test_cql_parse_errors():
 
 def test_cql_absent_term_empty(cidx):
     assert cidx.find_cql('"zzzabsent" "the"').count() == 0
+
+
+# -------- rewrite pass (TestQueryRewrite analog: assert the rewritten AST,
+# then that results are unchanged) ---------------------------------------
+
+def test_rewrite_rules():
+    from blacklab_spark.plans.cql import AnyToken, SeqNode, TokenNode, Unit
+    from blacklab_spark.plans.rewrite import rewrite
+
+    def units(q):
+        n = rewrite(parse_cql(q))
+        assert isinstance(n, SeqNode)
+        return n.units
+
+    # SEQ(A, SEQ(B, C)) → SEQ(A, B, C)
+    u = units('"a" ("b" "c")')
+    assert len(u) == 3 and all(isinstance(x.node, TokenNode) for x in u)
+    # (A){2,3} → A{2,3}
+    u = units('("mier"){2,3}')
+    assert len(u) == 1 and isinstance(u[0].node, TokenNode)
+    assert (u[0].m, u[0].n) == (2, 3)
+    # A A → A{2,2}  (CCRepetition)
+    u = units('"mier" "mier"')
+    assert len(u) == 1 and (u[0].m, u[0].n) == (2, 2)
+    # gap coalescing + empty-gap drop
+    u = units('"a" []{0,0} [] []{0,2} "b"')
+    assert len(u) == 3
+    assert isinstance(u[1].node, AnyToken) and (u[1].m, u[1].n) == (1, 3)
+
+
+@pytest.mark.parametrize("q,equiv", [
+    ('"mier" "mier"', '"mier"{2,2}'),
+    ('("may" "the") "force"', '"may" "the" "force"'),
+    ('"the" []{0,0} "quick"', '"the" "quick"'),
+    ('("aap"){2,2}', '"aap"{2,2}'),
+])
+def test_rewrite_preserves_results(cidx, q, equiv):
+    assert spans(cidx.find_cql(q)) == spans(cidx.find_cql(equiv))
+
+
+# -------- more TestSearches-style cases ----------------------------------
+
+MORE_CASES = [
+    ('"the" "quick" "brown"', [(0, 0, 3), (5, 0, 3)]),
+    ('"noot"{2,2}', [(1, 6, 8)]),
+    ('[word="m.*r"]', [(1, 1, 2), (1, 3, 4), (1, 4, 5), (1, 5, 6)]),  # mier
+    ('"be" !containing "zzz"', [(2, 3, 4), (2, 9, 10), (3, 1, 2), (3, 5, 6)]),
+    ('("force" | "question")', [(2, 2, 3), (2, 8, 9), (3, 9, 10)]),
+    ('"may" []{0,1} "force"', [(2, 0, 3), (2, 6, 9)]),
+    ('A:[] "question" :: A.word != "the"', []),  # only 'the question' exists
+    ('[word="over" & word="over"]', [(0, 5, 6), (5, 5, 6)]),
+]
+
+
+@pytest.mark.parametrize("q,expected", MORE_CASES, ids=[c[0] for c in MORE_CASES])
+def test_cql_more(cidx, q, expected):
+    assert spans(cidx.find_cql(q)) == expected
