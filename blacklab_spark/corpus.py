@@ -345,6 +345,39 @@ class Corpus:
             )
         )
 
+    def spans_seq_terms(
+        self, term_a: str, term_b: str, gap_min: int = 0, gap_max: int = 0
+    ) -> DataFrame:
+        """Fast path for `A []{gap} B` over two single terms: join the two
+        PER-DOC POSITION ARRAYS (one row per doc per term — a docs-sized
+        shuffle) and intersect shifted arrays JVM-side, instead of exploding
+        every position of both terms into the join (a positions-sized
+        shuffle). The same trick score_phrase uses, generalized to a gap
+        range; for stop-word sequences this is the difference between
+        shuffling millions of hit rows and thousands of doc rows."""
+        ta = self.term_positions(term_a).select(
+            "doc_id", F.col("positions").alias("pa")
+        )
+        tb = self.term_positions(term_b).select(
+            "doc_id", F.col("positions").alias("pb")
+        )
+        # b.start - a.end ∈ [gap_min, gap_max]  ⇔  b.start - a.start ∈ [g+1..]
+        shifts = F.explode(
+            F.sequence(F.lit(gap_min + 1), F.lit(gap_max + 1))
+        ).alias("sh")
+        j = ta.join(tb, "doc_id").select("doc_id", "pa", "pb", shifts)
+        starts = F.array_intersect(
+            "pa", F.transform("pb", lambda x: x - F.col("sh"))
+        )
+        return (
+            j.select("doc_id", F.col("sh"), F.explode(starts).alias("s"))
+            .select(
+                "doc_id",
+                F.col("s").cast("int").alias("start"),
+                (F.col("s") + F.col("sh") + 1).cast("int").alias("end"),
+            )
+        )
+
     # -------------------------------------------------------------- query --
     @staticmethod
     def _term_order_map(tinfo: pd.DataFrame):

@@ -471,8 +471,20 @@ class CqlCompiler:
             out = out.unionByName(f)
         return out.dropDuplicates(cols)
 
+    @staticmethod
+    def _plain_term(u: Unit) -> str | None:
+        """The bare term string when the unit is one unlabeled, unnegated,
+        literal-term token position — eligible for the array-intersect
+        sequence fast path."""
+        if u.label is None and (u.m, u.n) == (1, 1) and isinstance(u.node, TokenNode):
+            e = u.node.expr
+            if isinstance(e, TokClause) and not e.negate and _PLAIN_TERM.match(e.pattern):
+                return e.pattern
+        return None
+
     def _compile_seq_concrete(self, units: list[Unit]) -> DataFrame:
         acc = None
+        acc_term: str | None = None  # acc == spans of this term, unmaterialized
         lead_gap: tuple[int, int] | None = None
         pend_gap: tuple[int, int] | None = None
         any_total = None
@@ -490,16 +502,31 @@ class CqlCompiler:
                 )
                 continue
             any_total = None
-            f = self._compile_unit(u)
-            if acc is None:
+            term = self._plain_term(u)
+            if acc is None and acc_term is None:
                 if pend_gap is not None:
                     lead_gap = pend_gap
                     pend_gap = None
-                acc = f
-            else:
-                gmin, gmax = pend_gap or (0, 0)
-                pend_gap = None
-                acc = self._seq_join(acc, f, gmin, gmax)
+                if term is not None:
+                    acc_term = term
+                else:
+                    acc = self._compile_unit(u)
+                continue
+            gmin, gmax = pend_gap or (0, 0)
+            pend_gap = None
+            if acc is None and term is not None:
+                # term–term sequence: per-doc position-ARRAY join (one row
+                # per doc per term) + JVM array_intersect of shifted arrays —
+                # a docs-sized shuffle instead of a positions-sized one
+                acc = self.c.spans_seq_terms(acc_term, term, gmin, gmax)
+                acc_term = None
+                continue
+            if acc is None:
+                acc = self.c.spans_term(acc_term)
+                acc_term = None
+            acc = self._seq_join(acc, self._compile_unit(u), gmin, gmax)
+        if acc is None and acc_term is not None:
+            acc = self.c.spans_term(acc_term)
         if acc is None:
             # pure any-token sequence: standalone []{m,n}
             m, n = any_total
