@@ -20,6 +20,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from blacklab_spark.annotated import AnnotatedCorpus, build_annotated_index
 from blacklab_spark.build import build_index
 from blacklab_spark.corpus import Corpus
 from blacklab_spark.operators import dedup, grouping, similarity, textstats
@@ -97,6 +98,42 @@ def _hits_from_index(c: Corpus, term: str) -> DataFrame:
     """(engine doc_id, pos) hits decoded from the positional postings —
     a postings walk, not a corpus re-tokenize (VERDICT r1 'Missing #2')."""
     return c.spans_term(term).select("doc_id", F.col("start").alias("pos"))
+
+
+# deterministic derived annotation layers: the SAME rule text is valid Spark
+# SQL (inside transform) and DuckDB SQL (on a token column), so the oracle
+# can reproduce the layers exactly. The 'lemma' stand-in is the first-char
+# class — deliberately COARSE so several word types share one lemma and the
+# cross-layer intersections below are non-trivial on the testdata vocabulary
+_LEMMA_RULE = "substring({x}, 1, 1)"
+
+
+def _pos_rule(x: str) -> str:
+    from blacklab_spark.operators import textstats
+    stop = ", ".join("'" + w + "'" for w in textstats.STOPWORDS)
+    return (
+        f"CASE WHEN {x} IN ({stop}) THEN 'func' "
+        f"WHEN length({x}) >= 6 THEN 'long' ELSE 'short' END"
+    )
+
+
+def _annot_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_annot_v2"
+    root = os.path.join(CACHE_ROOT, name)
+    d = _tokenized_docs(spark, sf_dir)
+    frame = d.select(
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("tokens").alias("word"),
+        F.expr(f"transform(tokens, x -> {_LEMMA_RULE.format(x='x')})").alias("lemma"),
+        F.expr(f"transform(tokens, x -> {_pos_rule('x')})").alias("pos"),
+    )
+    build_annotated_index(
+        spark, frame, root,
+        {"word": "word", "lemma": "lemma", "pos": "pos"},
+        resume=True,
+    )
+    return AnnotatedCorpus(spark, root)
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -504,6 +541,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             c, c.find_cql('[word="join" | word="scan"]'), "start", "end"
         )
 
+    # ---- annotation layers (word/lemma/pos, position-aligned indexes) ----
+    def annot_lemma(spark, sf_dir):
+        # lemma class 's' covers scan/small/slow/sort/spark/stream
+        ac = _annot_corpus(spark, sf_dir)
+        return _to_orig(ac.word, ac.find_cql('[lemma="s"]'), "start", "end")
+
+    def annot_lemma_pos(spark, sf_dir):
+        # lemma class 's' ∩ pos 'long' — of the six s-words only 'stream'
+        # is ≥6 chars: a genuine two-layer intersection at one position
+        ac = _annot_corpus(spark, sf_dir)
+        return _to_orig(
+            ac.word, ac.find_cql('[lemma="s" & pos="long"]'), "start", "end"
+        )
+
+    def annot_constraint(spark, sf_dir):
+        # token before 'join' must be a function word (pos layer constraint)
+        ac = _annot_corpus(spark, sf_dir)
+        out = ac.find_cql('A:[] "join" :: A.pos = "func"')
+        return _to_orig(ac.word, out.select("doc_id", "start", "end"), "start", "end")
+
     def fuzzy_expand(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return S.fuzzy_terms(c.term_dict, "joins", 1).select("term", "df", "cf", "dist")
@@ -572,6 +629,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cql_anytoken": span_cql_anytoken,
         "span_cql_constraint": span_cql_constraint,
         "span_cql_tokexpr": span_cql_tokexpr,
+        "annot_lemma": annot_lemma,
+        "annot_lemma_pos": annot_lemma_pos,
+        "annot_constraint": annot_constraint,
         "fuzzy_expand": fuzzy_expand,
         "ann_lsh_topk": ann_lsh_topk,
         "ann_ivf_topk": ann_ivf_topk,
@@ -959,6 +1019,24 @@ WHERE tok = 'join' AND i >= 2 AND i + 1 <= len(toks)
 WITH {_POS_CTES}
 SELECT doc_id, i - 1 AS start, i AS "end" FROM pos
 WHERE tok IN ('join', 'scan')
+""",
+        "annot_lemma": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS start, i AS "end" FROM pos
+WHERE ({_LEMMA_RULE.format(x='tok')}) = 's'
+""",
+        "annot_lemma_pos": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS start, i AS "end" FROM pos
+WHERE ({_LEMMA_RULE.format(x='tok')}) = 's'
+  AND ({_pos_rule('tok')}) = 'long'
+""",
+        "annot_constraint": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 2 AS start, i AS "end"
+FROM pos
+WHERE tok = 'join' AND i >= 2
+  AND ({_pos_rule('toks[i - 1]')}) = 'func'
 """,
         "fuzzy_expand": f"""
 WITH {_BASE_CTES},

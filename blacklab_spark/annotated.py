@@ -1,0 +1,77 @@
+"""Multi-annotation corpora — word / lemma / pos layers, position-aligned.
+
+Reference analog: BlackLab's annotated fields, where each annotation gets its
+own Lucene field over the SAME token positions (`contents%word@s`,
+`contents%lemma@s`, ... — /root/reference/engine/src/main/java/nl/inl/
+blacklab/search/indexmetadata/Annotation.java:9-47; field naming
+/root/reference/doc/technical/index-formats/integrated.md:19-31).
+
+Spark-first shape: one full index PER ANNOTATION LAYER under a shared root
+(`<root>/word`, `<root>/lemma`, ...), all built from position-aligned token
+arrays of the same doc_key frame, so docIDs AND token positions line up
+across layers. A token-level `[lemma="x" & pos="y"]` is then a span
+intersection of two layers' postings leaves — the same per-doc merge the
+reference does between annotation fields.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from blacklab_spark.build import build_index
+from blacklab_spark.corpus import Corpus
+
+_LAYERS_FILE = "_layers.json"
+
+
+def build_annotated_index(
+    spark: SparkSession,
+    frame: DataFrame,
+    root: str,
+    annotations: dict[str, str],
+    *,
+    doc_key: tuple[str, str] = ("conv_id", "turn_idx"),
+    **build_kwargs,
+) -> str:
+    """Build one index per annotation layer from position-aligned token
+    columns. `annotations` maps layer name → array<string> column of `frame`;
+    a 'word' layer is required (it is the default annotation, like the
+    reference's mainAnnotation). All layers share the docID space because
+    every per-layer build sorts the same doc_key set."""
+    if "word" not in annotations:
+        raise ValueError("a 'word' layer is required")
+    os.makedirs(root, exist_ok=True)
+    for name, col in annotations.items():
+        layer = frame.select(*doc_key, F.col(col).alias("tokens"))
+        build_index(spark, layer, os.path.join(root, name),
+                    doc_key=doc_key, **build_kwargs)
+    with open(os.path.join(root, _LAYERS_FILE), "w") as f:
+        json.dump(sorted(annotations), f)
+    return root
+
+
+class AnnotatedCorpus:
+    """Query-side view over the per-annotation layer indexes."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        with open(os.path.join(root, _LAYERS_FILE)) as f:
+            names = json.load(f)
+        self.layers = {n: Corpus(spark, os.path.join(root, n)) for n in names}
+        self.word = self.layers["word"]
+        self.spark = spark
+
+    def spans_term(self, term: str, annot: str = "word") -> DataFrame:
+        return self.layers[annot].spans_term(term)
+
+    def find_cql(self, query: str) -> DataFrame:
+        """BCQL over all annotation layers: [lemma="x" & pos="y"], lemma
+        constraints (:: A.lemma = B.lemma), etc."""
+        from blacklab_spark.plans.cql import CqlCompiler, parse_cql
+        from blacklab_spark.plans.rewrite import rewrite
+
+        compiler = CqlCompiler(self.word, layers=self.layers)
+        return compiler.compile(rewrite(parse_cql(query)))

@@ -212,6 +212,12 @@ def build_index(
     transcripts: any DataFrame containing the doc_key columns plus `text`;
     extra columns (role, tool, ts, ...) are carried into the docs table as
     metadata fields (the reference's doc metadata analog).
+
+    Pre-tokenized input: if the frame already has a `tokens` array<string>
+    column it is indexed AS IS (no tokenizer pass) — the path annotation
+    layers (lemma/pos) and token-aligned formats (CoNLL-U) use. Note
+    compact_index re-tokenizes from `text`, so pre-tokenized indexes should
+    be compacted by rebuilding from their original token frames instead.
     """
     paths = IndexPaths(path)
     if not resume and os.path.exists(path):
@@ -249,8 +255,9 @@ def build_index(
         n_docs = acc
         bc_offsets = spark.sparkContext.broadcast(offsets)
 
+        pretokenized = "tokens" in transcripts.columns
         out_schema = T.StructType(
-            list(transcripts.schema.fields)
+            [f for f in transcripts.schema.fields if f.name != "tokens"]
             + [
                 T.StructField("doc_id", T.LongType()),
                 T.StructField("tokens", T.ArrayType(T.StringType())),
@@ -263,7 +270,10 @@ def build_index(
             base = bc_offsets.value.get(pid, 0)
             seen = 0
             for pdf in batches:
-                toks = tokenize_series(pdf["text"])
+                if pretokenized:
+                    toks = pdf.pop("tokens").map(list)
+                else:
+                    toks = tokenize_series(pdf["text"])
                 pdf = pdf.assign(
                     doc_id=np.arange(seen, seen + len(pdf), dtype="int64") + base,
                     tokens=toks,

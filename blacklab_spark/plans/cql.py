@@ -50,9 +50,10 @@ _PLAIN_TERM = re.compile(r"^[a-z0-9']+$")
 # ------------------------------------------------------------------- AST ----
 
 @dataclass(frozen=True)
-class TokClause:          # word="re"  /  word!="re"
+class TokClause:          # word="re"  /  lemma!="re"  (any annotation layer)
     pattern: str
     negate: bool = False
+    annot: str = "word"
 
 
 @dataclass(frozen=True)
@@ -192,9 +193,7 @@ class _Parser:
         label = self.eat("ident")
         self.eat("dot")
         annot = self.eat("ident")
-        if annot != "word":
-            raise ValueError(f"only 'word' annotation supported, got {annot}")
-        return ("cap", label)
+        return ("cap", label, annot)
 
     # filtered := seq (('within'|'containing') seq)*
     def filtered(self):
@@ -300,15 +299,13 @@ class _Parser:
 
     def tokclause(self) -> TokClause:
         name = self.eat("ident")
-        if name != "word":
-            raise ValueError(f"only 'word' annotation supported, got {name}")
         neg = False
         if self.peek("neq"):
             self.eat("neq")
             neg = True
         else:
             self.eat("eq")
-        return TokClause(_unquote(self.eat("str")), neg)
+        return TokClause(_unquote(self.eat("str")), neg, name)
 
 
 def _unquote(s: str) -> str:
@@ -331,16 +328,25 @@ class CqlCompiler:
     with engine doc ids; captures are extra int columns.
     """
 
-    def __init__(self, corpus, max_expand: int = 1024):
+    def __init__(self, corpus, max_expand: int = 1024, layers: dict | None = None):
         self.c = corpus
+        self.layers = layers or {"word": corpus}
 
     # ---- leaves ----
-    def _eq_spans(self, pattern: str) -> DataFrame:
+    def _layer(self, annot: str):
+        if annot not in self.layers:
+            raise ValueError(
+                f"unknown annotation {annot!r}; indexed layers: {sorted(self.layers)}"
+            )
+        return self.layers[annot]
+
+    def _eq_spans(self, pattern: str, annot: str = "word") -> DataFrame:
+        layer = self._layer(annot)
         if _PLAIN_TERM.match(pattern):
             terms = [pattern]
         else:
-            terms = self.c.expand_pattern(pattern)
-        return self.c.spans_terms(terms)
+            terms = layer.expand_pattern(pattern)
+        return layer.spans_terms(terms)
 
     def _any_ngrams(self, m: int, n: int) -> DataFrame:
         """All m..n-token spans per doc, generated from exact doc lengths
@@ -349,7 +355,7 @@ class CqlCompiler:
 
     def _tok_spans(self, expr) -> DataFrame:
         if isinstance(expr, TokClause):
-            eq = self._eq_spans(expr.pattern)
+            eq = self._eq_spans(expr.pattern, expr.annot)
             if not expr.negate:
                 return eq
             return self._any_ngrams(1, 1).join(
@@ -479,12 +485,12 @@ class CqlCompiler:
         if u.label is None and (u.m, u.n) == (1, 1) and isinstance(u.node, TokenNode):
             e = u.node.expr
             if isinstance(e, TokClause) and not e.negate and _PLAIN_TERM.match(e.pattern):
-                return e.pattern
+                return (e.annot, e.pattern)
         return None
 
     def _compile_seq_concrete(self, units: list[Unit]) -> DataFrame:
         acc = None
-        acc_term: str | None = None  # acc == spans of this term, unmaterialized
+        acc_term: tuple | None = None  # acc == (annot, term) spans, unmaterialized
         lead_gap: tuple[int, int] | None = None
         pend_gap: tuple[int, int] | None = None
         any_total = None
@@ -514,19 +520,21 @@ class CqlCompiler:
                 continue
             gmin, gmax = pend_gap or (0, 0)
             pend_gap = None
-            if acc is None and term is not None:
-                # term–term sequence: per-doc position-ARRAY join (one row
-                # per doc per term) + JVM array_intersect of shifted arrays —
-                # a docs-sized shuffle instead of a positions-sized one
-                acc = self.c.spans_seq_terms(acc_term, term, gmin, gmax)
+            if acc is None and term is not None and term[0] == acc_term[0]:
+                # term–term sequence in ONE layer: per-doc position-ARRAY
+                # join (one row per doc per term) + JVM array_intersect of
+                # shifted arrays — docs-sized shuffle, not positions-sized
+                acc = self._layer(acc_term[0]).spans_seq_terms(
+                    acc_term[1], term[1], gmin, gmax
+                )
                 acc_term = None
                 continue
             if acc is None:
-                acc = self.c.spans_term(acc_term)
+                acc = self._layer(acc_term[0]).spans_term(acc_term[1])
                 acc_term = None
             acc = self._seq_join(acc, self._compile_unit(u), gmin, gmax)
         if acc is None and acc_term is not None:
-            acc = self.c.spans_term(acc_term)
+            acc = self._layer(acc_term[0]).spans_term(acc_term[1])
         if acc is None:
             # pure any-token sequence: standalone []{m,n}
             m, n = any_total
@@ -543,21 +551,31 @@ class CqlCompiler:
         engine/src/main/java/nl/inl/blacklab/search/matchfilter/
         MatchFilterEquals.java)."""
         caps = set(self._caps(df))
+        used_annots = sorted({
+            r[2] for cond in conds for r in (cond.lhs, cond.rhs) if r[0] == "cap"
+        })
+        out = df
+        for annot in used_annots:  # one forward-index join per referenced layer
+            out = out.join(
+                self._layer(annot).docs.select(
+                    "doc_id", F.col("tokens").alias(f"_toks_{annot}")
+                ),
+                "doc_id",
+            )
 
         def ref_expr(ref):
-            kind, v = ref
-            if kind == "lit":
-                return F.lit(v)
-            col = f"c_{v}_s"
+            if ref[0] == "lit":
+                return F.lit(ref[1])
+            _, label, annot = ref
+            col = f"c_{label}_s"
             if col not in caps:
-                raise ValueError(f"constraint references unknown capture {v!r}")
-            return F.element_at("tokens", F.col(col) + 1)
+                raise ValueError(f"constraint references unknown capture {label!r}")
+            return F.element_at(f"_toks_{annot}", F.col(col) + 1)
 
-        out = df.join(self.c.docs.select("doc_id", "tokens"), "doc_id")
         for cond in conds:
             e = ref_expr(cond.lhs) == ref_expr(cond.rhs)
             out = out.filter(~e if cond.negate else e)
-        return out.drop("tokens")
+        return out.drop(*[f"_toks_{a}" for a in used_annots])
 
 
 def find_cql(corpus, query: str) -> DataFrame:

@@ -182,3 +182,60 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
     """CoNLL-U: one turn per sentence, text = FORM column joined by spaces;
     comments, multi-word-token ranges and empty nodes skipped."""
     return _parse_files(_whole_files(spark, path), _parse_conllu)
+
+
+_ANNOT_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, word array<string>, lemma array<string>, pos array<string>"
+)
+
+
+def read_conllu_annotated(spark: SparkSession, path: str) -> DataFrame:
+    """CoNLL-U with token-aligned annotation layers: per sentence, parallel
+    word (FORM, lowercased like the engine tokenizer), lemma (LEMMA) and pos
+    (UPOS) arrays — feed to build_annotated_index. The three arrays are
+    aligned by construction (same rows of the same sentence)."""
+    files = _whole_files(spark, path)
+
+    def parse_one(content: str) -> list[tuple[list, list, list]]:
+        sents, w, l, p = [], [], [], []
+        for line in content.splitlines():
+            line = line.rstrip()
+            if not line:
+                if w:
+                    sents.append((w, l, p))
+                    w, l, p = [], [], []
+                continue
+            if line.startswith("#"):
+                continue
+            cols = line.split("\t")
+            if len(cols) >= 4 and "-" not in cols[0] and "." not in cols[0]:
+                w.append(cols[1].lower())
+                l.append(cols[2].lower())
+                p.append(cols[3].lower())
+        if w:
+            sents.append((w, l, p))
+        return sents
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                conv = os.path.basename(row.path)
+                sents = parse_one(row.content)
+                if sents:
+                    out.append(pd.DataFrame({
+                        "conv_id": [conv] * len(sents),
+                        "turn_idx": pd.array(range(len(sents)), dtype="int32"),
+                        "role": [""] * len(sents),
+                        "text": [" ".join(s[0]) for s in sents],
+                        "tool": [""] * len(sents),
+                        "ts": [EPOCH] * len(sents),
+                        "word": [s[0] for s in sents],
+                        "lemma": [s[1] for s in sents],
+                        "pos": [s[2] for s in sents],
+                    }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return files.mapInPandas(gen, schema=_ANNOT_SCHEMA)

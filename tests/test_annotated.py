@@ -1,0 +1,94 @@
+"""Multi-annotation layers (word/lemma/pos): per-layer indexes share the
+docID space and token positions, so [lemma="x" & pos="y"] and lemma-level
+constraints work as span intersections across layers — the reference's
+annotated-field semantics (TestSearches exercises lemma/pos heavily)."""
+
+import pytest
+
+from blacklab_spark.annotated import AnnotatedCorpus, build_annotated_index
+from blacklab_spark.sources.readers import read_conllu_annotated
+
+CONLLU = """# doc 1
+1\tThe\tthe\tDET
+2\tdogs\tdog\tNOUN
+3\tbark\tbark\tVERB
+
+1\tA\ta\tDET
+2\tdog\tdog\tNOUN
+3\tbarked\tbark\tVERB
+4\tloudly\tloudly\tADV
+
+1\tdogs\tdog\tNOUN
+2\tbark\tbark\tNOUN
+"""
+
+
+@pytest.fixture(scope="module")
+def acorp(spark, tmp_root, tmp_path_factory):
+    d = tmp_path_factory.mktemp("conllu")
+    (d / "x.conllu").write_text(CONLLU)
+    frame = read_conllu_annotated(spark, str(d / "x.conllu"))
+    root = f"{tmp_root}/annot_idx"
+    build_annotated_index(
+        spark, frame, root,
+        {"word": "word", "lemma": "lemma", "pos": "pos"},
+        block_size=4,
+    )
+    return AnnotatedCorpus(spark, root)
+
+
+def spans(df):
+    return sorted((r["doc_id"], r["start"], r["end"]) for r in df.collect())
+
+
+def test_layers_aligned(acorp):
+    # all layers share docIDs and doc lengths (position alignment)
+    dls = {
+        name: {r["doc_id"]: r["dl"] for r in layer.doc_lengths().collect()}
+        for name, layer in acorp.layers.items()
+    }
+    assert dls["word"] == dls["lemma"] == dls["pos"]
+    assert dls["word"] == {0: 3, 1: 4, 2: 2}
+
+
+def test_lemma_query(acorp):
+    # lemma dog: dogs(0,1), dog(1,1), dogs(2,0)
+    assert spans(acorp.find_cql('[lemma="dog"]')) == [
+        (0, 1, 2), (1, 1, 2), (2, 0, 1)
+    ]
+
+
+def test_word_and_pos_intersection(acorp):
+    # word 'bark' occurs at (0,2) VERB and (2,1) NOUN
+    assert spans(acorp.find_cql('[word="bark" & pos="noun"]')) == [(2, 1, 2)]
+    assert spans(acorp.find_cql('[word="bark" & pos="verb"]')) == [(0, 2, 3)]
+
+
+def test_cross_layer_sequence(acorp):
+    # DET followed by lemma dog
+    assert spans(acorp.find_cql('[pos="det"] [lemma="dog"]')) == [
+        (0, 0, 2), (1, 0, 2)
+    ]
+
+
+def test_lemma_constraint(acorp):
+    # A:[] B:[] :: A.lemma = B.lemma — adjacent same-lemma pair: doc2
+    # has none (dog, bark); doc0 the/dogs/bark none... build one: use pos
+    got = spans(acorp.find_cql('A:[] B:[] :: A.pos = B.pos'))
+    # adjacent same-POS pairs: doc2 (dogs NOUN, bark NOUN) only
+    assert got == [(2, 0, 2)]
+
+
+def test_unknown_layer_errors(acorp):
+    with pytest.raises(ValueError, match="unknown annotation"):
+        acorp.find_cql('[xpos="NN"]').collect()
+
+
+def test_word_only_corpus_rejects_lemma(spark, tmp_root):
+    from blacklab_spark.build import build_index
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.datagen import fixture_corpus
+    path = f"{tmp_root}/wordonly_idx"
+    build_index(spark, spark.createDataFrame(fixture_corpus()), path, block_size=4)
+    with pytest.raises(ValueError, match="unknown annotation"):
+        Corpus(spark, path).find_cql('[lemma="x"]').collect()

@@ -94,9 +94,16 @@ def test_cql_capture_columns(cidx):
 
 
 def test_cql_parse_errors():
-    for bad in ["[lemma=\"x\"]", '"a" ::', "[word=]", '"a" }{']:
+    for bad in ['"a" ::', "[word=]", '"a" }{', "[word"]:
         with pytest.raises(ValueError):
             parse_cql(bad)
+
+
+def test_cql_unknown_layer_at_compile(cidx):
+    # [lemma=...] parses (annotations are first-class) but compiling against
+    # a word-only corpus reports the missing layer
+    with pytest.raises(ValueError, match="unknown annotation"):
+        cidx.find_cql('[lemma="x"]').collect()
 
 
 def test_cql_absent_term_empty(cidx):
