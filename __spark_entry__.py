@@ -542,6 +542,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # ---- annotation layers (word/lemma/pos, position-aligned indexes) ----
+    def hits_by_capture(spark, sf_dir):
+        # group 'X join' bigrams by the captured X token (HitPropertyCaptureGroup)
+        c = _corpus(spark, sf_dir)
+        sp = c.find_cql('A:[] "join"')
+        return grouping.group_hits_by_capture(sp, c.docs, "A")
+
     def annot_lemma(spark, sf_dir):
         # lemma class 's' covers scan/small/slow/sort/spark/stream
         ac = _annot_corpus(spark, sf_dir)
@@ -629,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cql_anytoken": span_cql_anytoken,
         "span_cql_constraint": span_cql_constraint,
         "span_cql_tokexpr": span_cql_tokexpr,
+        "hits_by_capture": hits_by_capture,
         "annot_lemma": annot_lemma,
         "annot_lemma_pos": annot_lemma_pos,
         "annot_constraint": annot_constraint,
@@ -1019,6 +1026,12 @@ WHERE tok = 'join' AND i >= 2 AND i + 1 <= len(toks)
 WITH {_POS_CTES}
 SELECT doc_id, i - 1 AS start, i AS "end" FROM pos
 WHERE tok IN ('join', 'scan')
+""",
+        "hits_by_capture": f"""
+WITH {_POS_CTES}
+SELECT toks[i - 1] AS capture, count(*) AS n_hits
+FROM pos WHERE tok = 'join' AND i >= 2
+GROUP BY 1
 """,
         "annot_lemma": f"""
 WITH {_POS_CTES}

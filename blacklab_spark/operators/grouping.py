@@ -276,6 +276,22 @@ def group_hits_by_context_and_meta(
     )
 
 
+def group_hits_by_capture(
+    spans_with_caps: DataFrame, docs: DataFrame, label: str
+) -> DataFrame:
+    """Group hits by the text of a named capture group — HitPropertyCaptureGroup
+    (/root/reference/engine/src/main/java/nl/inl/blacklab/resultproperty/
+    HitPropertyCaptureGroup.java): the capture's first token is looked up in
+    the forward index and used as the group key."""
+    joined = spans_with_caps.join(docs.select("doc_id", "tokens"), "doc_id")
+    key = F.element_at("tokens", F.col(f"c_{label}_s") + 1)
+    return (
+        joined.select(key.alias("capture"))
+        .groupBy("capture")
+        .agg(F.count("*").alias("n_hits"))
+    )
+
+
 def decade_of(ts_col: str):
     """Decade bucketing expression (DocPropertyDecade analog, /root/reference/
     engine/src/main/java/nl/inl/blacklab/resultproperty/DocPropertyDecade.java:12-17)."""

@@ -219,6 +219,43 @@ def test_hits_window_take_ordered_plan(small):
     assert got == exp[10:20]
 
 
+def test_range_scorer_invariant_to_partitioning(small):
+    """_range_scores results must not depend on the range count (R is derived
+    from spark.sql.shuffle.partitions): rerun the same queries at a very
+    different setting and demand identical rows."""
+    c, oi, _ = small
+    spark = c.spark
+    q_or, q_and = ["the", "of", "w0003"], ["the", "w0005"]
+    base_or = rows(c.search_or(q_or, k=12))
+    base_and = rows(c.search_and(q_and, k=12))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        assert rows(c.search_or(q_or, k=12)) == base_or
+        assert rows(c.search_and(q_and, k=12)) == base_and
+        spark.conf.set("spark.sql.shuffle.partitions", "97")
+        assert rows(c.search_or(q_or, k=12)) == base_or
+        assert rows(c.search_and(q_and, k=12)) == base_and
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert base_or == orc.topk_or(oi, q_or, 12)
+    assert base_and == orc.topk_and(oi, q_and, 12)
+
+
+def test_postings_scan_filter_pushdown(small):
+    """The term_id predicate must reach the parquet scan (PushedFilters) so a
+    query touches only the queried terms' row groups."""
+    c, _, _ = small
+    tinfo = c.lookup_terms(["the", "w0002"])
+    blocks = c.postings.filter(
+        __import__("pyspark.sql.functions", fromlist=["col"]).col("term_id").isin(
+            [int(t) for t in tinfo["term_id"]]
+        )
+    )
+    plan = blocks._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [In(term_id" in plan
+
+
 def test_regex_expansion(small):
     c, oi, _ = small
     expanded = c.expand_pattern("^w00.*")
