@@ -92,6 +92,12 @@ class SeqNode:
 
 
 @dataclass(frozen=True)
+class Lookahead:          # (?= seq) / (?! seq): zero-width assertion
+    node: object
+    negative: bool = False
+
+
+@dataclass(frozen=True)
 class PosFilterNode:      # within / containing (+invert)
     producer: object
     filt: object
@@ -118,6 +124,7 @@ _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<within>!?within\b) | (?P<containing>!?containing\b)
     | (?P<cons>::)
+    | (?P<la>\(\?=) | (?P<lan>\(\?!)
     | (?P<lbrack>\[) | (?P<rbrack>\]) | (?P<lpar>\() | (?P<rpar>\))
     | (?P<quant>\{\s*\d+\s*(?:,\s*\d*)?\s*\})
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
@@ -209,14 +216,23 @@ class _Parser:
         return q
 
     def seq(self) -> SeqNode:
-        units = [self.unit()]
+        units = [self.unit_or_lookahead()]
         while True:
             k = self.peek()
-            if k and k[0] in ("lbrack", "lpar", "str", "ident"):
-                units.append(self.unit())
+            if k and k[0] in ("lbrack", "lpar", "str", "ident", "la", "lan"):
+                units.append(self.unit_or_lookahead())
             else:
                 break
         return SeqNode(tuple(units))
+
+    def unit_or_lookahead(self) -> Unit:
+        if self.peek("la") or self.peek("lan"):
+            neg = self.peek("lan") is not None
+            self.eat("lan" if neg else "la")
+            inner = self.seq()
+            self.eat("rpar")
+            return Unit(Lookahead(inner, neg), 1, 1, None)
+        return self.unit()
 
     # unit := (label ':')? atom quant?
     def unit(self) -> Unit:
@@ -388,6 +404,8 @@ class CqlCompiler:
             return fn(prod, filt, invert=node.invert)
         if isinstance(node, ConstrainedNode):
             return self._apply_constraints(self.compile(node.q), node.conditions)
+        if isinstance(node, Lookahead):
+            raise ValueError("a lookahead needs a preceding clause in a sequence")
         raise TypeError(node)
 
     def _compile_unit(self, u: Unit) -> DataFrame:
@@ -508,6 +526,31 @@ class CqlCompiler:
                 )
                 continue
             any_total = None
+            if isinstance(u.node, Lookahead):
+                # zero-width assertion at the current end position
+                # (cql.jj sequencePartNoCapture lookahead, :502)
+                if pend_gap is not None:
+                    raise ValueError("any-token gap directly before a lookahead")
+                if acc is None:
+                    if acc_term is None:
+                        raise ValueError("lookahead needs a preceding clause")
+                    acc = self._layer(acc_term[0]).spans_term(acc_term[1])
+                    acc_term = None
+                b = self.compile(u.node.node).select(
+                    "doc_id", F.col("start").alias("_la_s")
+                )
+                how = "left_anti" if u.node.negative else "left_semi"
+                acc = (
+                    acc.alias("x")
+                    .join(
+                        b.alias("y"),
+                        (F.col("x.doc_id") == F.col("y.doc_id"))
+                        & (F.col("y._la_s") == F.col("x.end")),
+                        how,
+                    )
+                    .select("x.*")
+                )
+                continue
             term = self._plain_term(u)
             if acc is None and acc_term is None:
                 if pend_gap is not None:

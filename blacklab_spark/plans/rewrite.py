@@ -26,6 +26,7 @@ from __future__ import annotations
 from blacklab_spark.plans.cql import (
     AnyToken,
     ConstrainedNode,
+    Lookahead,
     PosFilterNode,
     SeqNode,
     Unit,
@@ -65,6 +66,8 @@ def _rewrite_units(units: tuple) -> tuple | None:
             p = out[-1]
             same_atom = (
                 p.label is None and u.label is None
+                and not isinstance(p.node, Lookahead)
+                and not isinstance(u.node, Lookahead)
                 and (
                     (isinstance(p.node, AnyToken) and isinstance(u.node, AnyToken))
                     or p.node == u.node
@@ -87,6 +90,11 @@ def rewrite(node):
             if nu is None:
                 return node
             node = SeqNode(nu)
+        elif isinstance(node, Lookahead):
+            inner = rewrite(node.node)
+            if inner is node.node:
+                return node
+            node = Lookahead(inner, node.negative)
         elif isinstance(node, PosFilterNode):
             p, f = rewrite(node.producer), rewrite(node.filt)
             if p is node.producer and f is node.filt:

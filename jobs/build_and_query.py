@@ -25,6 +25,7 @@ def main():
     ap.add_argument("--input", required=True)
     ap.add_argument("--index", required=True)
     ap.add_argument("--query", default=None)
+    ap.add_argument("--cql", default=None, help="BCQL span query (plans/cql.py grammar)")
     ap.add_argument("--k", type=int, default=10)
     ap.add_argument("--resume", action="store_true")
     args = ap.parse_args()
@@ -47,6 +48,10 @@ def main():
         hits = c.search(args.query, k=args.k).collect()
         out["query"] = args.query
         out["hits"] = [[r["doc_id"], r["score"]] for r in hits]
+    if args.cql:
+        spans = c.find_cql(args.cql).limit(args.k).collect()
+        out["cql"] = args.cql
+        out["spans"] = [[r["doc_id"], r["start"], r["end"]] for r in spans]
     print(json.dumps(out))
     spark.stop()
 

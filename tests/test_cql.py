@@ -150,6 +150,25 @@ def test_rewrite_preserves_results(cidx, q, equiv):
 
 # -------- more TestSearches-style cases ----------------------------------
 
+LOOKAHEAD_CASES = [
+    ('"the" (?= "quick")', [(0, 0, 1), (5, 0, 1)]),
+    ('"the" (?! "quick")',
+     [(0, 6, 7), (2, 1, 2), (2, 7, 8), (3, 8, 9), (5, 6, 7)]),
+    ('"may" "the" (?= "force" "be")', [(2, 0, 2), (2, 6, 8)]),
+]
+
+
+@pytest.mark.parametrize("q,expected", LOOKAHEAD_CASES,
+                         ids=[c[0] for c in LOOKAHEAD_CASES])
+def test_cql_lookahead(cidx, q, expected):
+    assert spans(cidx.find_cql(q)) == expected
+
+
+def test_cql_lookahead_needs_left_clause(cidx):
+    with pytest.raises(ValueError, match="lookahead"):
+        cidx.find_cql('(?= "the")').collect()
+
+
 MORE_CASES = [
     ('"the" "quick" "brown"', [(0, 0, 3), (5, 0, 3)]),
     ('"noot"{2,2}', [(1, 6, 8)]),
