@@ -1,0 +1,175 @@
+"""CQL fuzzing: randomly generated queries must agree with an independent
+pure-Python span evaluator on the fixture corpus.
+
+The evaluator interprets the RAW parse tree set-theoretically (no Spark, no
+rewrite pass), so a mismatch implicates the lexer/parser, the rewrite rules,
+or the DataFrame compiler — the reference's TestSearches idea, but generated
+instead of enumerated (the repo's pytest strategy extends SURVEY §5.1 with
+property-based coverage)."""
+
+import re
+
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from blacklab_spark.build import build_index
+from blacklab_spark.corpus import Corpus
+from blacklab_spark.datagen import fixture_corpus
+from blacklab_spark.plans.cql import (
+    AnyToken,
+    Lookahead,
+    PosFilterNode,
+    SeqNode,
+    TokAnd,
+    TokClause,
+    TokOr,
+    TokenNode,
+    parse_cql,
+)
+from blacklab_spark.tokenizer import tokenize
+
+
+# ------------------------------------------------ naive span evaluator -----
+
+def _tok_match(expr, tok: str) -> bool:
+    if isinstance(expr, TokClause):
+        hit = re.fullmatch(expr.pattern, tok) is not None
+        return hit != expr.negate
+    if isinstance(expr, TokAnd):
+        return _tok_match(expr.a, tok) and _tok_match(expr.b, tok)
+    if isinstance(expr, TokOr):
+        return _tok_match(expr.a, tok) or _tok_match(expr.b, tok)
+    raise TypeError(expr)
+
+
+def _atom_spans(node, toks: list[str]) -> set[tuple[int, int]]:
+    if isinstance(node, AnyToken):
+        return {(i, i + 1) for i in range(len(toks))}
+    if isinstance(node, TokenNode):
+        return {(i, i + 1) for i, t in enumerate(toks) if _tok_match(node.expr, t)}
+    if isinstance(node, SeqNode):
+        return _seq_spans(node.units, toks)
+    if isinstance(node, tuple) and node and node[0] == "alt":
+        out = set()
+        for a in node[1]:
+            out |= _eval_doc(a, toks)
+        return out
+    raise TypeError(node)
+
+
+def _seq_spans(units, toks) -> set[tuple[int, int]]:
+    states = {(i, i) for i in range(len(toks) + 1)}
+    for u in units:
+        if isinstance(u.node, Lookahead):
+            inner = _eval_doc(u.node.node, toks)
+            starts = {s for s, _ in inner}
+            keep = (lambda e: e in starts) if not u.node.negative else (
+                lambda e: e not in starts
+            )
+            states = {(s, e) for s, e in states if keep(e)}
+            continue
+        if isinstance(u.node, AnyToken) and u.label is None:
+            states = {
+                (s, e + g)
+                for s, e in states
+                for g in range(u.m, u.n + 1)
+                if e + g <= len(toks)
+            }
+            continue
+        base = _atom_spans(u.node, toks)
+        ext = set()
+        for s, e in states:
+            if u.m == 0:
+                ext.add((s, e))
+            cur = {e}
+            for k in range(1, u.n + 1):
+                cur = {e2 for c in cur for (c2, e2) in base if c2 == c}
+                if not cur:
+                    break
+                if k >= max(u.m, 1):
+                    ext |= {(s, c) for c in cur}
+        states = ext
+    return {(s, e) for s, e in states if e > s}
+
+
+def _eval_doc(node, toks) -> set[tuple[int, int]]:
+    if isinstance(node, SeqNode):
+        return _seq_spans(node.units, toks)
+    if isinstance(node, PosFilterNode):
+        prod = _eval_doc(node.producer, toks)
+        filt = _eval_doc(node.filt, toks)
+        if node.op == "within":
+            sel = {
+                p for p in prod
+                if any(f[0] <= p[0] and p[1] <= f[1] for f in filt)
+            }
+        else:
+            sel = {
+                p for p in prod
+                if any(p[0] <= f[0] and f[1] <= p[1] for f in filt)
+            }
+        return sel if not node.invert else prod - sel
+    return _atom_spans(node, toks)
+
+
+def eval_cql(query: str, docs_tokens: dict[int, list[str]]):
+    node = parse_cql(query)
+    out = set()
+    for doc_id, toks in docs_tokens.items():
+        out |= {(doc_id, s, e) for s, e in _eval_doc(node, toks)}
+    return out
+
+
+# ------------------------------------------------------------ strategies ---
+
+VOCAB = ["the", "quick", "fox", "mier", "aap", "noot", "be", "force", "zzz"]
+
+_atom = st.one_of(
+    st.sampled_from([f'"{w}"' for w in VOCAB]),
+    st.sampled_from([
+        '[word="m.*"]',
+        '[word="no.*" | word="aap"]',
+        '[word != "the"]',
+        '[word="a.*" & word != "aap"]',
+    ]),
+)
+_quant = st.sampled_from(["", "", "?", "{1,2}", "{2,2}", "{0,1}"])
+_unit = st.builds(lambda a, q: a + q, _atom, _quant)
+_gap = st.sampled_from(["[]", "[]{0,1}", "[]{1,2}", "[]{0,2}"])
+
+_seq = st.builds(
+    lambda head, gap, tail: " ".join([head] + ([gap + " " + tail] if tail else [])),
+    _unit.filter(lambda u: not u.endswith("?") and "{0," not in u),
+    _gap,
+    st.one_of(st.none(), _unit),
+)
+
+_query = st.one_of(
+    _seq,
+    st.builds(lambda a, b: f"{a} within ({b})", _seq, _seq),
+    st.builds(lambda a, b: f"{a} !within ({b})", _seq, _seq),
+    st.builds(lambda a, b: f"{a} containing ({b})", _seq, _seq),
+    st.builds(lambda a, b: f"{a} (?= {b})", _seq, _unit),
+    st.builds(lambda a, b: f"{a} (?! {b})", _seq, _unit),
+)
+
+
+@pytest.fixture(scope="module")
+def fuzz_idx(spark, tmp_root):
+    pdf = fixture_corpus()
+    path = f"{tmp_root}/fuzz_idx"
+    build_index(spark, spark.createDataFrame(pdf), path, block_size=4)
+    toks = {i: tokenize(t) for i, t in enumerate(pdf["text"])}
+    return Corpus(spark, path), toks
+
+
+@settings(max_examples=30, deadline=None)
+@given(q=_query)
+def test_cql_fuzz_matches_naive_evaluator(fuzz_idx, q):
+    c, docs_tokens = fuzz_idx
+    expected = eval_cql(q, docs_tokens)
+    got = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in c.find_cql(q).select("doc_id", "start", "end").collect()
+    }
+    assert got == expected, q
