@@ -542,6 +542,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     # ---- annotation layers (word/lemma/pos, position-aligned indexes) ----
+    def hit_groups_sampled(spark, sf_dir):
+        # HitGroups with bounded per-group sample, stringified for the hash
+        c = _corpus(spark, sf_dir)
+        h = _to_orig(c, _hits_from_index(c, TERM), "pos")
+        meta = _load_documents(spark, sf_dir).select("doc_id", "lang")
+        g = grouping.hit_groups_with_samples(h, meta, "lang", max_sample=3)
+        return g.select(
+            "key", "n_hits",
+            F.concat_ws(
+                ";",
+                F.transform(
+                    "sample", lambda s: F.concat_ws(":", s["doc_id"], s["pos"])
+                ),
+            ).alias("sample"),
+        )
+
+    def annot_lemma_freq(spark, sf_dir):
+        # FrequencyTool over the lemma layer: each layer is a full corpus,
+        # so its term_dict IS the per-annotation frequency list
+        ac = _annot_corpus(spark, sf_dir)
+        return ac.layers["lemma"].term_dict.select("term", "df", "cf")
+
     def hits_by_capture(spark, sf_dir):
         # group 'X join' bigrams by the captured X token (HitPropertyCaptureGroup)
         c = _corpus(spark, sf_dir)
@@ -636,6 +658,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_cql_constraint": span_cql_constraint,
         "span_cql_tokexpr": span_cql_tokexpr,
         "hits_by_capture": hits_by_capture,
+        "hit_groups_sampled": hit_groups_sampled,
+        "annot_lemma_freq": annot_lemma_freq,
         "annot_lemma": annot_lemma,
         "annot_lemma_pos": annot_lemma_pos,
         "annot_constraint": annot_constraint,
@@ -1026,6 +1050,24 @@ WHERE tok = 'join' AND i >= 2 AND i + 1 <= len(toks)
 WITH {_POS_CTES}
 SELECT doc_id, i - 1 AS start, i AS "end" FROM pos
 WHERE tok IN ('join', 'scan')
+""",
+        "hit_groups_sampled": f"""
+WITH {_POS_CTES},
+h AS (SELECT doc_id, i - 1 AS p FROM pos WHERE tok = '{TERM}'),
+j AS (SELECT h.doc_id, h.p, d.lang FROM h JOIN documents d USING (doc_id))
+SELECT lang AS key, count(*) AS n_hits,
+       array_to_string(
+         list_transform(
+           (list(doc_id || ':' || p ORDER BY doc_id, p))[1:3], x -> x
+         ), ';'
+       ) AS sample
+FROM j GROUP BY lang
+""",
+        "annot_lemma_freq": f"""
+WITH {_POS_CTES},
+lem AS (SELECT doc_id, ({_LEMMA_RULE.format(x='tok')}) AS term FROM pos)
+SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
+FROM lem GROUP BY term
 """,
         "hits_by_capture": f"""
 WITH {_POS_CTES}

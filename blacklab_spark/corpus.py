@@ -149,7 +149,17 @@ class Corpus:
         TextPatternRegex/BLSpanMultiTermQueryWrapper rewrite, SURVEY.md §2.2).
 
         Anchored like Lucene RegexpQuery: the pattern must match the ENTIRE
-        term (rlike alone is substring search — /cat/ would hit 'concatenate')."""
+        term (rlike alone is substring search — /cat/ would hit 'concatenate').
+
+        Served from the driver-side term-dict cache when it fits (a
+        vectorized fullmatch over the vocabulary — no Spark job per regex
+        atom, mirroring Lucene's in-memory TermsEnum walk); huge
+        vocabularies fall back to a distributed term_dict scan."""
+        self.lookup_terms([])  # ensure the cache decision has been made
+        cache = getattr(self, "_td_cache", None)
+        if cache is not None:
+            hit = cache.index[cache["term"].str.fullmatch(regex, na=False)]
+            return sorted(hit[:max_terms])
         rows = (
             self.term_dict.filter(F.col("term").rlike("^(?:" + regex + ")$"))
             .select("term").limit(max_terms).collect()
@@ -408,10 +418,16 @@ class Corpus:
         )
 
     def _range_scores(
-        self, tinfo: pd.DataFrame, k: int | None, conjunctive: bool
+        self,
+        tinfo: pd.DataFrame,
+        k: int | None,
+        conjunctive: bool,
+        groups: list[list[str]] | None = None,
     ) -> DataFrame:
         """Doc-range-partitioned scorer — the shared physical strategy for
-        multi-term OR (with block-max WAND when k is given) and AND.
+        multi-term OR (with block-max WAND when k is given), AND, and
+        conjunctions of OR-groups (BooleanQuery MUST clauses that are
+        multi-term expansions).
 
         The query terms' posting blocks are re-keyed by docID RANGE so every
         doc's FULL score is computable inside one partition (a block that
@@ -428,17 +444,18 @@ class Corpus:
           can reach the final top-k, so skipping never corrupts a reported
           score.
         * OR, no k: same partition-local numpy fold, no pruning, all rows.
-        * AND: the rarest term's decoded docs form the candidate set; each
-          subsequent term skips blocks whose [first_doc_id, last_doc_id]
-          window contains no candidate (searchsorted) and intersects the
-          candidates — a stop-word MUST clause decodes only the blocks that
-          overlap the rare term's docs.
+        * conjunctive (groups; plain AND = singleton groups): groups are
+          processed in ascending total-df order; the first group's decoded
+          docs form the candidate set, every later term searchsorted-skips
+          blocks whose [first_doc_id, last_doc_id] window holds no candidate
+          — a stop-word MUST clause decodes only blocks overlapping the rare
+          clause's docs. Score sums every (group, matched-term) contribution.
 
-        Emitted scores are exact term-string-ordered float64 left-folds,
-        bitwise equal to the oracle. Scale shape: ONE shuffle of the queried
-        terms' blocks keyed on doc range, partition-local numpy scoring, then
-        either a TakeOrderedAndProject over (n_ranges × k) rows (k given) or
-        a plain union of per-range results.
+        Emitted scores are exact float64 left-folds in (group, term-string)
+        order, bitwise equal to the oracle. Scale shape: ONE shuffle of the
+        queried terms' blocks keyed on doc range, partition-local numpy
+        scoring, then either a TakeOrderedAndProject over (n_ranges × k) rows
+        (k given) or a plain union of per-range results.
         """
         import math as _math
 
@@ -448,11 +465,26 @@ class Corpus:
             for r in tinfo.itertuples()
         }
         df_map = {int(r.term_id): int(r.df) for r in tinfo.itertuples()}
+        tid_by_term = {r.term: int(r.term_id) for r in tinfo.itertuples()}
         # fold order = ascending term string (float64 parity contract)
         t_ord = {
             int(r.term_id): i
             for i, r in enumerate(tinfo.sort_values("term").itertuples())
         }
+        if conjunctive and groups is None:
+            groups = [[t] for t in sorted(tinfo["term"])]
+        gid_terms = None
+        group_proc_order = None
+        if conjunctive:
+            gid_terms = [
+                sorted({tid_by_term[t] for t in g if t in tid_by_term})
+                for g in groups
+            ]
+            # rarest group first builds the candidate set fastest
+            group_proc_order = sorted(
+                range(len(gid_terms)),
+                key=lambda gi: sum(df_map[t] for t in gid_terms[gi]),
+            )
         avgdl = self.avgdl
         # stale bounds after an append: block_max_score is no longer an upper
         # bound, so WAND pruning is off (scores stay exact regardless)
@@ -499,91 +531,24 @@ class Corpus:
             )
             return d, contrib
 
-        def score_range(pdf: pd.DataFrame) -> pd.DataFrame:
-            rng = int(pdf["rng"].iloc[0])
-            lo, hi = rng * R, (rng + 1) * R
-            by_term = {int(tid): g for tid, g in pdf.groupby("term_id")}
-            if conjunctive and set(term_ids) - set(by_term):
-                return empty_pdf  # a MUST term absent from this range
-            ub = {tid: float(g["block_max_score"].max()) for tid, g in by_term.items()}
-            sum_ub = sum(ub.values())
-            theta = -_math.inf
-            cands = None  # conjunctive running intersection (sorted unique)
-            parts: list[tuple[int, np.ndarray, np.ndarray]] = []
-            order = sorted(by_term, key=lambda tid: (df_map[tid], t_ord[tid]))
-            for tid in order:
-                g = by_term[tid]
-                if conjunctive and cands is not None:
-                    if cands.size == 0:
-                        return empty_pdf
-                    # skip blocks whose doc window holds no candidate
-                    fi = g["first_doc_id"].to_numpy()
-                    la = g["last_doc_id"].to_numpy()
-                    li = np.searchsorted(cands, fi)
-                    keep = li < cands.size
-                    keep &= np.where(
-                        keep, cands[np.minimum(li, cands.size - 1)] <= la, False
-                    )
-                    g = g[keep]
-                    if len(g) == 0:
-                        return empty_pdf
-                if prune and theta > -_math.inf:
-                    slack = abs(theta) * 1e-12 + 1e-12  # fp-safety margin
-                    bound = g["block_max_score"].to_numpy() + (sum_ub - ub[tid])
-                    g = g[bound >= theta - slack]
-                if len(g) == 0:
-                    continue
-                d, contrib = _decode_group(g, lo, hi, tid)
-                if conjunctive and cands is not None:
-                    idx = np.searchsorted(cands, d)
-                    memb = idx < cands.size
-                    memb &= np.where(
-                        memb, cands[np.minimum(idx, cands.size - 1)] == d, False
-                    )
-                    d, contrib = d[memb], contrib[memb]
-                if d.size == 0:
-                    if conjunctive:
-                        return empty_pdf
-                    continue
-                parts.append((tid, d, contrib))
-                if conjunctive:
-                    ds = np.sort(d)
-                    cands = ds if cands is None else ds  # d already ∩ cands
-                elif prune:
-                    # θ update: k-th best accumulated partial. Order-free sums
-                    # are fine here — θ only gates pruning, never a reported
-                    # score (those are re-folded exactly below).
-                    ad = np.concatenate([p[1] for p in parts])
-                    ac = np.concatenate([p[2] for p in parts])
-                    ud, inv = np.unique(ad, return_inverse=True)
-                    if ud.size >= kk:
-                        sums = np.zeros(ud.size)
-                        np.add.at(sums, inv, ac)
-                        theta = float(np.partition(sums, ud.size - kk)[ud.size - kk])
-            if not parts:
-                return empty_pdf
-            if conjunctive:
-                if cands is None or cands.size == 0:
-                    return empty_pdf
-                # keep only docs surviving the FULL intersection
-                fparts = []
-                for tid, d, contrib in parts:
-                    idx = np.searchsorted(cands, d)
-                    memb = idx < cands.size
-                    memb &= np.where(
-                        memb, cands[np.minimum(idx, cands.size - 1)] == d, False
-                    )
-                    fparts.append((tid, d[memb], contrib[memb]))
-                parts = fparts
-            d = np.concatenate([p[1] for p in parts])
-            o = np.concatenate([
-                np.full(p[1].size, t_ord[p[0]], dtype=np.int64) for p in parts
-            ])
-            c = np.concatenate([p[2] for p in parts])
-            srt = np.lexsort((o, d))
+        def _member(cands, d):
+            idx = np.searchsorted(cands, d)
+            memb = idx < cands.size
+            memb &= np.where(
+                memb, cands[np.minimum(idx, cands.size - 1)] == d, False
+            )
+            return memb
+
+        def _fold_topk(parts, key2_per_part):
+            """parts: [(d, contrib)]; key2_per_part: the (gid, t_ord) or
+            t_ord sort key arrays aligned with parts — exact LEFT fold per
+            doc in key order, then optional local top-k."""
+            d = np.concatenate([p[0] for p in parts])
+            c = np.concatenate([p[1] for p in parts])
+            keys = [np.concatenate(col) for col in zip(*key2_per_part)]
+            srt = np.lexsort(tuple(reversed(keys)) + (d,))
             d, c = d[srt], c[srt]
             ud, starts, counts = np.unique(d, return_index=True, return_counts=True)
-            # exact LEFT fold per doc in term-string order (bitwise == oracle)
             score = np.zeros(ud.size, dtype=np.float64)
             for j in range(int(counts.max())):
                 sel = counts > j
@@ -593,8 +558,116 @@ class Corpus:
                 ud, score = ud[topk], score[topk]
             return pd.DataFrame({"doc_id": ud.astype("int64"), "score": score})
 
+        def score_range_or(pdf: pd.DataFrame) -> pd.DataFrame:
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * R, (rng + 1) * R
+            by_term = {int(tid): g for tid, g in pdf.groupby("term_id")}
+            ub = {tid: float(g["block_max_score"].max()) for tid, g in by_term.items()}
+            sum_ub = sum(ub.values())
+            theta = -_math.inf
+            parts, keys = [], []
+            order = sorted(by_term, key=lambda tid: (df_map[tid], t_ord[tid]))
+            for tid in order:
+                g = by_term[tid]
+                if prune and theta > -_math.inf:
+                    slack = abs(theta) * 1e-12 + 1e-12  # fp-safety margin
+                    bound = g["block_max_score"].to_numpy() + (sum_ub - ub[tid])
+                    g = g[bound >= theta - slack]
+                if len(g) == 0:
+                    continue
+                d, contrib = _decode_group(g, lo, hi, tid)
+                if d.size == 0:
+                    continue
+                parts.append((d, contrib))
+                keys.append((np.full(d.size, t_ord[tid], dtype=np.int64),))
+                if prune:
+                    # θ update: k-th best accumulated partial. Order-free sums
+                    # are fine here — θ only gates pruning, never a reported
+                    # score (those are re-folded exactly below).
+                    ad = np.concatenate([p[0] for p in parts])
+                    ac = np.concatenate([p[1] for p in parts])
+                    udq, inv = np.unique(ad, return_inverse=True)
+                    if udq.size >= kk:
+                        sums = np.zeros(udq.size)
+                        np.add.at(sums, inv, ac)
+                        theta = float(np.partition(sums, udq.size - kk)[udq.size - kk])
+            if not parts:
+                return empty_pdf
+            return _fold_topk(parts, keys)
+
+        def score_range_and(pdf: pd.DataFrame) -> pd.DataFrame:
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * R, (rng + 1) * R
+            by_term = {int(tid): g for tid, g in pdf.groupby("term_id")}
+            cands = None
+            decoded: dict[int, tuple] = {}
+            for gi in group_proc_order:
+                tids = [t for t in gid_terms[gi] if t in by_term]
+                gdocs = []
+                for tid in sorted(tids, key=lambda t: df_map[t]):
+                    if tid not in decoded:
+                        g = by_term[tid]
+                        if cands is not None:
+                            if cands.size == 0:
+                                return empty_pdf
+                            fi = g["first_doc_id"].to_numpy()
+                            la = g["last_doc_id"].to_numpy()
+                            li = np.searchsorted(cands, fi)
+                            keep = li < cands.size
+                            keep &= np.where(
+                                keep,
+                                cands[np.minimum(li, cands.size - 1)] <= la,
+                                False,
+                            )
+                            g = g[keep]
+                            if len(g) == 0:
+                                decoded[tid] = (
+                                    np.zeros(0, dtype=np.int64),
+                                    np.zeros(0, dtype=np.float64),
+                                )
+                                continue
+                        d, contrib = _decode_group(g, lo, hi, tid)
+                        if cands is not None and d.size:
+                            mb = _member(cands, d)
+                            d, contrib = d[mb], contrib[mb]
+                        decoded[tid] = (d, contrib)
+                    gdocs.append(decoded[tid][0])
+                gd = (
+                    np.unique(np.concatenate(gdocs))
+                    if gdocs else np.zeros(0, dtype=np.int64)
+                )
+                if gd.size == 0:
+                    return empty_pdf
+                cands = gd if cands is None else np.intersect1d(
+                    cands, gd, assume_unique=True
+                )
+                if cands.size == 0:
+                    return empty_pdf
+            # score: every (group, matched-term) pair over the surviving docs
+            parts, keys = [], []
+            for gi, tids in enumerate(gid_terms):
+                for tid in tids:
+                    d, contrib = decoded.get(
+                        tid, (np.zeros(0, dtype=np.int64), np.zeros(0))
+                    )
+                    if d.size == 0:
+                        continue
+                    mb = _member(cands, d)
+                    d, contrib = d[mb], contrib[mb]
+                    if d.size == 0:
+                        continue
+                    parts.append((d, contrib))
+                    keys.append((
+                        np.full(d.size, gi, dtype=np.int64),
+                        np.full(d.size, t_ord[tid], dtype=np.int64),
+                    ))
+            if not parts:
+                return empty_pdf
+            return _fold_topk(parts, keys)
+
+        fn = score_range_and if conjunctive else score_range_or
         scored = blocks.groupBy("rng").applyInPandas(
-            score_range, schema="doc_id long, score double"
+            fn, schema="doc_id long, score double"
         )
         if kk is None:
             return scored
@@ -617,13 +690,15 @@ class Corpus:
             return decoded.select("doc_id", F.col("contrib").alias("score"))
         return self._range_scores(tinfo, k, conjunctive=True)
 
-    def score_and_groups(self, groups: list[list[str]]) -> DataFrame:
+    def score_and_groups(
+        self, groups: list[list[str]], k: int | None = None
+    ) -> DataFrame:
         """Conjunction of OR-groups — a BooleanQuery whose MUST clauses may be
         multi-term expansions (wildcard/regex atoms). A doc must match ≥1 term
         of EVERY group; the score sums the BM25 of every (group, matched-term)
         pair, so a term shared by two clauses contributes once per clause —
-        Lucene's per-clause scoring, vs round-1's wrong flat-MUST flattening
-        (each expansion term was its own MUST clause)."""
+        Lucene's per-clause scoring. Runs on the doc-range scorer: the rarest
+        clause's docs drive candidate pruning of every other clause's blocks."""
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not groups:
             return empty
@@ -636,30 +711,10 @@ class Corpus:
         if all(len(g) == 1 for g in resolved):
             seen = {g[0] for g in resolved}
             if len(seen) == len(resolved):  # plain term conjunction
-                return self.score_and(sorted(seen))
-        tid = {r.term: int(r.term_id) for r in tinfo.itertuples()}
+                return self.score_and(sorted(seen), k=k)
         used = sorted({t for g in resolved for t in g})
-        pairs = [(tid[t], gi) for gi, g in enumerate(resolved) for t in g]
-        memb = self.spark.createDataFrame(pairs, "term_id long, gid int")
-        decoded = self._decoded_scores(tinfo[tinfo["term"].isin(used)])
-        t_ord = self._term_order_map(tinfo)[F.col("term_id")]
-        # fold order: (gid, term string rank) — fixed float64 summation order
-        return (
-            decoded.join(F.broadcast(memb), "term_id")
-            .groupBy("doc_id")
-            .agg(
-                F.countDistinct("gid").alias("_ng"),
-                F.array_sort(
-                    F.collect_list(F.struct("gid", t_ord.alias("t_ord"), "contrib"))
-                ).alias("cs"),
-            )
-            .filter(F.col("_ng") == F.lit(len(groups)))
-            .select(
-                "doc_id",
-                F.aggregate(
-                    "cs", F.lit(0.0), lambda acc, x: acc + x["contrib"]
-                ).alias("score"),
-            )
+        return self._range_scores(
+            tinfo[tinfo["term"].isin(used)], k, conjunctive=True, groups=resolved
         )
 
     def search_and(self, terms: list[str], k: int = 10) -> DataFrame:
@@ -757,7 +812,7 @@ class Corpus:
             clauses.append(self.expand_pattern(t.pattern) if t.regex else [t.pattern])
         if isinstance(q, AndQuery):
             return (
-                self.score_and_groups(clauses)
+                self.score_and_groups(clauses, k=k)
                 .orderBy(F.desc("score"), F.asc("doc_id"))
                 .limit(k)
             )

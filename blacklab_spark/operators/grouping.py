@@ -276,6 +276,31 @@ def group_hits_by_context_and_meta(
     )
 
 
+def hit_groups_with_samples(
+    h: DataFrame, docs: DataFrame, meta_col: str, max_sample: int = 3
+) -> DataFrame:
+    """HitGroups with per-group stored sample — the reference keeps a bounded
+    list of example hits per group besides the total count (/root/reference/
+    engine/src/main/java/nl/inl/blacklab/search/results/hitresults/
+    HitGroups.java): (key, n_hits, sample[(doc_id,pos)] first max_sample by
+    (doc_id, pos))."""
+    joined = h.join(docs.select("doc_id", meta_col), "doc_id")
+    return joined.groupBy(F.col(meta_col).alias("key")).agg(
+        F.count("*").alias("n_hits"),
+        F.slice(
+            F.sort_array(F.collect_list(F.struct("doc_id", "pos"))), 1, max_sample
+        ).alias("sample"),
+    )
+
+
+def view_group(h: DataFrame, docs: DataFrame, meta_col: str, value) -> DataFrame:
+    """All hits of ONE group (BLS viewgroup parameter): the group key is
+    re-applied as a filter — with Parquet/Iceberg column stats this prunes at
+    the scan."""
+    joined = h.join(docs.select("doc_id", meta_col), "doc_id")
+    return joined.filter(F.col(meta_col) == value).select("doc_id", "pos")
+
+
 def group_hits_by_capture(
     spans_with_caps: DataFrame, docs: DataFrame, label: str
 ) -> DataFrame:
