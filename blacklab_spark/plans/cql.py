@@ -529,13 +529,16 @@ class CqlCompiler:
             if isinstance(u.node, Lookahead):
                 # zero-width assertion at the current end position
                 # (cql.jj sequencePartNoCapture lookahead, :502)
-                if pend_gap is not None:
-                    raise ValueError("any-token gap directly before a lookahead")
                 if acc is None:
                     if acc_term is None:
                         raise ValueError("lookahead needs a preceding clause")
                     acc = self._layer(acc_term[0]).spans_term(acc_term[1])
                     acc_term = None
+                if pend_gap is not None:
+                    # a gap before a lookahead CONSUMES tokens first: extend
+                    # the span right, then assert at the new end
+                    acc = self._var_extend(acc, pend_gap[0], pend_gap[1], "right")
+                    pend_gap = None
                 b = self.compile(u.node.node).select(
                     "doc_id", F.col("start").alias("_la_s")
                 )

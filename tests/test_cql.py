@@ -155,6 +155,8 @@ LOOKAHEAD_CASES = [
     ('"the" (?! "quick")',
      [(0, 6, 7), (2, 1, 2), (2, 7, 8), (3, 8, 9), (5, 6, 7)]),
     ('"may" "the" (?= "force" "be")', [(2, 0, 2), (2, 6, 8)]),
+    # gap before a lookahead consumes tokens, then asserts (fuzz-found)
+    ('"may" []{0,1} (?= "force")', [(2, 0, 2), (2, 6, 8)]),
 ]
 
 
