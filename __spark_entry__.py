@@ -367,6 +367,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.cosine_topk(emb, [float(x) for x in qv], k=K)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    def embedding_near_pairs(spark, sf_dir):
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = similarity.exact_near_pairs(emb, threshold=0.4)
+        return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
     def token_count(spark, sf_dir):
         return textstats.token_counts(_load_documents(spark, sf_dir), "text", "doc_id")
 
@@ -630,6 +635,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_values": simhash_values,
         "embedding_topk": embedding_topk,
+        "embedding_near_pairs": embedding_near_pairs,
         "token_count": token_count,
         "quality": quality,
         "lang_id": lang_id,
@@ -815,6 +821,16 @@ ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
             * sqrt(list_dot_product(q.qe::DOUBLE[], q.qe::DOUBLE[]))) DESC,
          vec_id ASC
 LIMIT 10
+""",
+        "embedding_near_pairs": """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v)
+             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
+             6) AS cosine
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.v, b.v)
+      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
 """,
         "token_count": f"""
 SELECT doc_id AS id,

@@ -183,6 +183,30 @@ def ivf_topk(
     return cosine_topk(sub, query_vec, k, id_col, vec_col)
 
 
+def exact_near_pairs(
+    emb: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs cosine ≥ threshold — the correctness baseline for
+    cosine_near_pairs (the LSH-bucketed scale path). O(n²) by design: use on
+    bounded sets only (an LSH candidate pool, a sampled audit), never the
+    full corpus."""
+    e = emb.select(F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"))
+    a, b = e.alias("a"), e.alias("b")
+    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (
+        _norm(F.col("a.vec")) * _norm(F.col("b.vec"))
+    )
+    return (
+        a.join(b, F.col("a.rid") < F.col("b.rid"))
+        .select(
+            F.col("a.rid").alias("id_a"),
+            F.col("b.rid").alias("id_b"),
+            sim.alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
 def cosine_near_pairs(
     emb: DataFrame, threshold: float = 0.9, num_planes: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
