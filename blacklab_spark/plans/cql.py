@@ -13,12 +13,16 @@ postings-backed span algebra:
     A []{m,n} B              sequence with gap (SpansSequenceWithGap)
     A{m,n}  A*  A+  A?       repetition (bounded; * and + clamp at max_rep)
     [word="a" | word="b"]    token-level OR;  & token-level AND;  != negation
+    [lemma="x" & pos="y"]    any indexed annotation layer (AnnotatedCorpus)
     (...)                    grouping
+    A B | C D  /  A & B      clause-level union / same-extent intersection
+                             (booleanQuery level; binds tighter than within)
+    (?= B) / (?! B)          zero-width lookahead at the current position
     A within B / containing  position filter (optional ! prefix inverts)
     lab:X                    capture group -> c_<lab>_s / c_<lab>_e columns
-    q :: lab.word = lab2.word   global constraint via the forward index
-                                (MatchFilterEquals analog; also != and
-                                string literals on either side)
+    q :: lab.word = lab2.pos    global constraints via the forward index of
+                                the referenced layer (MatchFilterEquals
+                                analog; also != and string literals)
 
 The compiler maps every construct to the operators in
 blacklab_spark.operators.spans over Corpus postings leaves, so parsing a
@@ -202,9 +206,11 @@ class _Parser:
         annot = self.eat("ident")
         return ("cap", label, annot)
 
-    # filtered := seq (('within'|'containing') seq)*
+    # filtered := boolean (('within'|'containing') boolean)*
+    # boolean  := seq (('|' | '&') seq)*        (binds tighter than within,
+    #             like cql.jj: containingWithinQuery > booleanQuery > sequence)
     def filtered(self):
-        q = self.seq()
+        q = self.boolean()
         while self.peek("within") or self.peek("containing"):
             if self.peek("within"):
                 v = self.eat("within")
@@ -212,8 +218,21 @@ class _Parser:
             else:
                 v = self.eat("containing")
                 op = "containing"
-            q = PosFilterNode(q, self.seq(), op, invert=v.startswith("!"))
+            q = PosFilterNode(q, self.boolean(), op, invert=v.startswith("!"))
         return q
+
+    def boolean(self):
+        first = self.seq()
+        if not (self.peek("pipe") or self.peek("amp")):
+            return first
+        alts, ops = [first], []
+        while self.peek("pipe") or self.peek("amp"):
+            ops.append("or" if self.peek("pipe") else "and")
+            self.eat("pipe" if ops[-1] == "or" else "amp")
+            alts.append(self.seq())
+        if len(set(ops)) > 1:
+            raise ValueError("mixing | and & without parentheses is ambiguous")
+        return (("alt" if ops[0] == "or" else "and"), tuple(alts))
 
     def seq(self) -> SeqNode:
         units = [self.unit_or_lookahead()]
@@ -275,7 +294,7 @@ class _Parser:
             return TokenNode(expr)
         if self.peek("lpar"):
             self.eat("lpar")
-            s = self.seq_or_alternation()
+            s = self.boolean()  # (A | B) / (A & B) / (A B C)
             self.eat("rpar")
             return s
         if self.peek("str"):
@@ -289,17 +308,6 @@ class _Parser:
             ))
         got = self.toks[self.i] if self.i < len(self.toks) else "EOF"
         raise ValueError(f"CQL parse error at {got}")
-
-    # inside parens, allow clause-level alternation: (A | B)
-    def seq_or_alternation(self):
-        first = self.seq()
-        if not self.peek("pipe"):
-            return first
-        alts = [first]
-        while self.peek("pipe"):
-            self.eat("pipe")
-            alts.append(self.seq())
-        return ("alt", tuple(alts))
 
     # tokexpr := clause (('&'|'|') clause)*  — left-associative
     def tokexpr(self):
@@ -397,6 +405,14 @@ class CqlCompiler:
             for f in frames[1:]:
                 out = out.unionByName(f.select(*SPAN_COLS))
             return out.dropDuplicates(SPAN_COLS)
+        if isinstance(node, tuple) and node and node[0] == "and":
+            # clause-level &: spans with identical extent in every clause
+            # (SpanQueryAnd, /root/reference/engine/.../lucene/SpanQueryAnd.java)
+            frames = [self.compile(a) for a in node[1]]
+            out = frames[0].select(*SPAN_COLS)
+            for f in frames[1:]:
+                out = S.span_and(out, f.select(*SPAN_COLS))
+            return out
         if isinstance(node, PosFilterNode):
             prod = self.compile(node.producer)
             filt = self.compile(node.filt).select(*SPAN_COLS)

@@ -105,10 +105,10 @@ def rewrite(node):
             if q is node.q:
                 return node
             node = ConstrainedNode(q, node.conditions)
-        elif isinstance(node, tuple) and node and node[0] == "alt":
+        elif isinstance(node, tuple) and node and node[0] in ("alt", "and"):
             alts = tuple(rewrite(a) for a in node[1])
             if all(a is b for a, b in zip(alts, node[1])):
                 return node
-            node = ("alt", alts)
+            node = (node[0], alts)
         else:
             return node

@@ -180,6 +180,12 @@ MORE_CASES = [
     ('"may" []{0,1} "force"', [(2, 0, 3), (2, 6, 9)]),
     ('A:[] "question" :: A.word != "the"', []),  # only 'the question' exists
     ('[word="over" & word="over"]', [(0, 5, 6), (5, 5, 6)]),
+    # clause-level | and & (booleanQuery level, binds tighter than within)
+    ('"may" "the" | "the" "force"',
+     [(2, 0, 2), (2, 1, 3), (2, 6, 8), (2, 7, 9)]),
+    ('"the" [] & "the" "quick"', [(0, 0, 2), (5, 0, 2)]),
+    ('("may" "the" | "the" "force") within ("may" "the" "force")',
+     [(2, 0, 2), (2, 1, 3), (2, 6, 8), (2, 7, 9)]),
 ]
 
 

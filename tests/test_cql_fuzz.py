@@ -54,6 +54,12 @@ def _atom_spans(node, toks: list[str]) -> set[tuple[int, int]]:
         for a in node[1]:
             out |= _eval_doc(a, toks)
         return out
+    if isinstance(node, tuple) and node and node[0] == "and":
+        sets = [_eval_doc(a, toks) for a in node[1]]
+        out = sets[0]
+        for x in sets[1:]:
+            out &= x
+        return out
     raise TypeError(node)
 
 
@@ -146,6 +152,8 @@ _seq = st.builds(
 
 _query = st.one_of(
     _seq,
+    st.builds(lambda a, b: f"{a} | {b}", _seq, _seq),
+    st.builds(lambda a, b: f"{a} & {b}", _seq, _seq),
     st.builds(lambda a, b: f"{a} within ({b})", _seq, _seq),
     st.builds(lambda a, b: f"{a} !within ({b})", _seq, _seq),
     st.builds(lambda a, b: f"{a} containing ({b})", _seq, _seq),
