@@ -54,6 +54,30 @@ def build_annotated_index(
     return root
 
 
+def add_to_annotated_index(
+    spark: SparkSession,
+    frame: DataFrame,
+    root: str,
+    annotations: dict[str, str],
+    *,
+    doc_key: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> str:
+    """Append position-aligned documents to every layer (the incremental
+    add-to-index path, layer by layer). The layer set must match the built
+    index — a partial append would desynchronize docID spaces."""
+    from blacklab_spark.incremental import add_to_index
+
+    with open(os.path.join(root, _LAYERS_FILE)) as f:
+        names = set(json.load(f))
+    if set(annotations) != names:
+        raise ValueError(f"layer mismatch: index has {sorted(names)}, "
+                         f"append provides {sorted(annotations)}")
+    for name, col in annotations.items():
+        layer = frame.select(*doc_key, F.col(col).alias("tokens"))
+        add_to_index(spark, layer, os.path.join(root, name))
+    return root
+
+
 class AnnotatedCorpus:
     """Query-side view over the per-annotation layer indexes."""
 

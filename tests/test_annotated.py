@@ -79,6 +79,33 @@ def test_lemma_constraint(acorp):
     assert got == [(2, 0, 2)]
 
 
+def test_annotated_append(spark, tmp_root, tmp_path_factory):
+    from blacklab_spark.annotated import add_to_annotated_index
+    d = tmp_path_factory.mktemp("conllu2")
+    (d / "base.conllu").write_text(CONLLU)
+    delta = "1\tcats\tcat\tNOUN\n2\tbark\tbark\tVERB\n"
+    (d / "delta.conllu").write_text(delta)
+    root = f"{tmp_root}/annot_incr_idx"
+    ann = {"word": "word", "lemma": "lemma", "pos": "pos"}
+    build_annotated_index(
+        spark, read_conllu_annotated(spark, str(d / "base.conllu")), root, ann,
+        block_size=4,
+    )
+    add_to_annotated_index(
+        spark, read_conllu_annotated(spark, str(d / "delta.conllu")), root, ann
+    )
+    ac = AnnotatedCorpus(spark, root)
+    dls = {
+        name: {r["doc_id"]: r["dl"] for r in layer.doc_lengths().collect()}
+        for name, layer in ac.layers.items()
+    }
+    assert dls["word"] == dls["lemma"] == dls["pos"]  # still aligned
+    assert len(dls["word"]) == 4
+    # new doc visible across layers: cats/cat/NOUN at (3,0)
+    assert spans(ac.find_cql('[lemma="cat"]')) == [(3, 0, 1)]
+    assert spans(ac.find_cql('[word="bark" & pos="verb"]')) == [(0, 2, 3), (3, 1, 2)]
+
+
 def test_unknown_layer_errors(acorp):
     with pytest.raises(ValueError, match="unknown annotation"):
         acorp.find_cql('[xpos="NN"]').collect()
