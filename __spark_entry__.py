@@ -517,6 +517,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- BCQL query strings (plans/cql.py) — parser-driven span queries;
     # each compiles onto the same postings-backed algebra as the span_*
     # entries, proving the query-language surface end-to-end ----
+    def span_filtered_meta(spark, sf_dir):
+        # spans restricted to docs matching a metadata predicate
+        # (SpanQueryFiltered): join hits against the filtered documents table
+        c = _corpus(spark, sf_dir)
+        sp = _to_orig(c, c.spans_term("join"), "start", "end")
+        meta = _load_documents(spark, sf_dir)
+        return S.filter_by_docs(sp, meta, F.col("lang") == "en")
+
     def span_cql_seq(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return _to_orig(c, c.find_cql('"join" []{0,2} "scan"'), "start", "end")
@@ -654,6 +662,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "span_sequence_gap": span_sequence_gap,
         "span_within": span_within,
         "span_containing": span_containing,
+        "span_filtered_meta": span_filtered_meta,
         "span_not_counts": span_not_counts,
         "span_repetition": span_repetition,
         "span_expand": span_expand,
@@ -1023,6 +1032,12 @@ WHERE tok = 'vector' AND i + 1 <= len(toks) AND toks[i + 1] = 'vector'
 WITH {_POS_CTES}
 SELECT doc_id, greatest(i - 2, 0) AS start, least(i + 1, len(toks)) AS "end"
 FROM pos WHERE tok = 'join'
+""",
+        "span_filtered_meta": f"""
+WITH {_POS_CTES}
+SELECT p.doc_id, p.i - 1 AS start, p.i AS "end"
+FROM pos p JOIN documents d USING (doc_id)
+WHERE p.tok = 'join' AND d.lang = 'en'
 """,
         "span_cql_seq": f"""
 WITH {_POS_CTES},

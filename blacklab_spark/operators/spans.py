@@ -245,6 +245,15 @@ def no_hits(spark) -> DataFrame:
     return spark.createDataFrame([], "doc_id long, start int, end int")
 
 
+def filter_by_docs(spans: DataFrame, docs: DataFrame, predicate) -> DataFrame:
+    """Restrict spans to documents matching a metadata predicate
+    (SpanQueryFiltered, /root/reference/engine/src/main/java/nl/inl/blacklab/
+    search/lucene/SpanQueryFiltered.java:74): a semi-join against the filtered
+    docs — with Parquet/Iceberg the predicate prunes at the metadata scan."""
+    keep = docs.filter(predicate).select("doc_id")
+    return spans.join(keep, "doc_id", "left_semi")
+
+
 def filter_by_length(spans: DataFrame, min_len: int = 0, max_len: int | None = None) -> DataFrame:
     ln = F.col("end") - F.col("start")
     out = spans.filter(ln >= min_len)
