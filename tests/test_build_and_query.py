@@ -242,6 +242,16 @@ def test_range_scorer_invariant_to_partitioning(small):
     assert base_and == orc.topk_and(oi, q_and, 12)
 
 
+def test_preload_identical_results(small):
+    """Serving mode must be a pure performance knob — bitwise-same results."""
+    c, oi, _ = small
+    q = ["the", "w0002"]
+    before = rows(c.search_or(q, k=10))
+    c.preload()
+    assert rows(c.search_or(q, k=10)) == before == orc.topk_or(oi, q, 10)
+    assert c.find_cql('"the" []{0,1} "a"').count() > 0  # postings path live
+
+
 def test_postings_scan_filter_pushdown(small):
     """The term_id predicate must reach the parquet scan (PushedFilters) so a
     query touches only the queried terms' row groups."""
