@@ -174,7 +174,6 @@ pos AS (
 
 
 def _bm25_or_sql(terms: list[str], k: int | None) -> str:
-    tlist = ", ".join(f"''{t}''" for t in [])  # placeholder to keep linters calm
     tlist = ", ".join("'" + t + "'" for t in sorted(set(terms)))
     limit = f"ORDER BY score DESC, doc_id ASC LIMIT {k}" if k else ""
     return f"""

@@ -95,7 +95,16 @@ class Corpus:
         from pyspark import StorageLevel
 
         self.lookup_terms([])  # populate the driver-side term-dict cache
-        self.spark.read.parquet(self.paths.postings).count()  # page-cache warm
+        # Page-cache warm must READ the data pages: a bare count() is served
+        # from parquet row-group metadata with an empty read schema and never
+        # touches the postings bytes. Summing the binary column lengths
+        # forces a full decode of every page exactly once.
+        self.spark.read.parquet(self.paths.postings).select(
+            F.sum(
+                F.length("doc_gaps") + F.length("tfs") + F.length("dls")
+                + F.length("positions")
+            )
+        ).collect()
         self._docs_df = self.spark.read.parquet(self.paths.docs).persist(
             StorageLevel.MEMORY_AND_DISK
         )
@@ -394,16 +403,6 @@ class Corpus:
         )
 
     # -------------------------------------------------------------- query --
-    @staticmethod
-    def _term_order_map(tinfo: pd.DataFrame):
-        """term_id → rank of the term STRING among the query terms. The fold
-        order contract is ascending term string; after an incremental append
-        term_id order can diverge from string order (new terms get ids above
-        the old max), so the sort key must be the string rank, not term_id."""
-        ordered = tinfo.sort_values("term").itertuples()
-        kv = [(int(r.term_id), i) for i, r in enumerate(ordered)]
-        return F.create_map(*[F.lit(x) for pair in kv for x in pair])
-
     def score_or(self, terms: list[str], k: int | None = None) -> DataFrame:
         """Multi-term OR (BooleanQuery SHOULD): per-doc sum of BM25 in
         ascending-term order. Returns all matching docs: (doc_id, score)."""

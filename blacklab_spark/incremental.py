@@ -43,6 +43,28 @@ PENDING_MARKER = "_pending_append.json"
 TD_OLD = "_term_dict_old"
 
 
+def _atomic_json_write(target: str, obj) -> None:
+    """Write JSON to a temp file in the same dir, fsync, then rename over the
+    target — the commit is the atomic rename (Lucene writes a NEW segments_N
+    and renames; an in-place truncate+write would leave a torn file on crash)."""
+    tmp = target + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
+    os.rename(tmp, target)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
 def recover_pending(path: str) -> bool:
     """Detect and resolve a partially-applied add_to_index.
 
@@ -50,12 +72,20 @@ def recover_pending(path: str) -> bool:
     commit point) the append is rolled FORWARD (cleanup only); otherwise it is
     rolled BACK: moved delta part files are deleted from the live dirs and the
     old term dictionary is restored, leaving the pre-append index intact.
+
+    A marker owned by a LIVE writer process (pid recorded in the marker,
+    still running, not us) is left alone — recovering under a mid-flight
+    writer would delete part files it just moved. Only orphaned markers
+    (writer dead, or our own re-entry) are recovered.
     """
     marker = os.path.join(path, PENDING_MARKER)
     if not os.path.exists(marker):
         return False
     with open(marker) as f:
         info = json.load(f)
+    writer = info.get("writer_pid")
+    if writer is not None and writer != os.getpid() and _pid_alive(writer):
+        return False  # live writer holds the marker; not ours to recover
     paths = IndexPaths(path)
     with open(paths.meta) as f:
         meta = json.load(f)
@@ -189,11 +219,15 @@ def add_to_index(
         "postings": _part_files(os.path.join(path, postings_delta)),
     }
     marker = os.path.join(path, PENDING_MARKER)
-    with open(marker, "w") as f:
-        json.dump(
-            {"new_n_segments": segment + 1, "moved": moved, "staging": staging_dirs},
-            f, indent=2,
-        )
+    _atomic_json_write(
+        marker,
+        {
+            "new_n_segments": segment + 1,
+            "moved": moved,
+            "staging": staging_dirs,
+            "writer_pid": os.getpid(),
+        },
+    )
     _fail("after_marker")
 
     for sub, delta in (("docs", docs_delta), ("postings", postings_delta)):
@@ -216,8 +250,7 @@ def add_to_index(
     meta["n_terms"] = n_terms_new
     meta["n_segments"] = segment + 1
     meta["bounds_stale"] = True  # block_max_score no longer an upper bound
-    with open(paths.meta, "w") as f:
-        json.dump(meta, f, indent=2)
+    _atomic_json_write(paths.meta, meta)  # commit point = atomic rename
     _fail("after_commit")
 
     # ---- cleanup -------------------------------------------------------------
@@ -253,7 +286,6 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
         new_meta = json.load(f)
     new_meta["n_segments"] = 1
     new_meta["bounds_stale"] = False
-    with open(paths.meta, "w") as f:
-        json.dump(new_meta, f, indent=2)
+    _atomic_json_write(paths.meta, new_meta)
     shutil.rmtree(rebuilt)
     return paths

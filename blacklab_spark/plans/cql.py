@@ -333,7 +333,14 @@ class _Parser:
 
 
 def _unquote(s: str) -> str:
-    return re.sub(r"\\(.)", r"\1", s[1:-1])
+    """Strip the quotes; unescape ONLY the quote character, scanning ``\\X``
+    pairs left-to-right non-overlapping. Every other backslash sequence
+    (``\\.``, ``\\d``, ``\\\\`` ...) is passed through intact to the regex
+    engine — so ``[word="u\\.s\\."]`` matches the literal dots, matching
+    StringUtil.unescapeQuote (reference util/.../StringUtil.java:284-296)."""
+    return re.sub(
+        r"\\(.)", lambda m: '"' if m.group(1) == '"' else m.group(0), s[1:-1]
+    )
 
 
 def parse_cql(q: str):
@@ -354,6 +361,7 @@ class CqlCompiler:
 
     def __init__(self, corpus, max_expand: int = 1024, layers: dict | None = None):
         self.c = corpus
+        self.max_expand = max_expand
         self.layers = layers or {"word": corpus}
 
     # ---- leaves ----
@@ -369,7 +377,7 @@ class CqlCompiler:
         if _PLAIN_TERM.match(pattern):
             terms = [pattern]
         else:
-            terms = layer.expand_pattern(pattern)
+            terms = layer.expand_pattern(pattern, max_terms=self.max_expand)
         return layer.spans_terms(terms)
 
     def _any_ngrams(self, m: int, n: int) -> DataFrame:

@@ -93,6 +93,18 @@ def test_cql_capture_columns(cidx):
     assert (r["c_A_s"], r["c_A_e"], r["c_B_s"], r["c_B_e"]) == (3, 4, 5, 6)
 
 
+def test_cql_unquote_preserves_regex_escapes():
+    # Reference semantics (StringUtil.unescapeQuote): only the quote char is
+    # unescaped; \. \d \\ etc. pass through intact to the regex engine, so
+    # [word="u\.s\."] matches literal dots, not any-char (ADVICE r2, medium).
+    def pat(q):
+        return parse_cql(q).units[0].node.expr.pattern
+
+    assert pat(r'[word="u\.s\."]') == r"u\.s\."
+    assert pat(r'[word="say \"hi\""]') == 'say "hi"'
+    assert pat(r'[word="a\\b"]') == r"a\\b"  # escaped backslash stays escaped
+
+
 def test_cql_parse_errors():
     for bad in ['"a" ::', "[word=]", '"a" }{', "[word"]:
         with pytest.raises(ValueError):

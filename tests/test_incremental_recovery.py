@@ -59,6 +59,27 @@ def test_rollback_at_every_precommit_point(spark, idx, fp):
     assert c.term_dict.filter("term = 'zzznewterm'").count() == 0
 
 
+def test_recovery_skipped_while_writer_alive(spark, idx):
+    # A marker owned by a LIVE foreign process must not be recovered under
+    # the writer (ADVICE r2): rolling back a mid-flight append would delete
+    # part files the writer just moved. pid 1 is always alive and never us.
+    path, _, _ = idx
+    marker = os.path.join(path, PENDING_MARKER)
+    info = {"new_n_segments": 99, "moved": {"docs": [], "postings": []},
+            "staging": [], "writer_pid": 1}
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    assert recover_pending(path) is False
+    assert os.path.exists(marker)  # left alone for the live writer
+    # once the writer is dead (recycle an exited subprocess pid is unlikely;
+    # use an impossible pid) recovery proceeds
+    info["writer_pid"] = 2**22 + 12345  # beyond default pid_max → dead
+    with open(marker, "w") as f:
+        json.dump(info, f)
+    assert recover_pending(path) is True
+    assert not os.path.exists(marker)
+
+
 def test_rollforward_after_commit_then_real_append(spark, idx):
     path, oi, base_texts = idx
     delta = _delta(42)
