@@ -136,6 +136,36 @@ def _annot_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
     return AnnotatedCorpus(spark, root)
 
 
+# deterministic case-variant rule for the sensitivity layer: the testdata is
+# all-lowercase, so the @s layer capitalizes words of length >= 5 — the SAME
+# rule text is valid Spark SQL (inside transform) and DuckDB (list_transform)
+_CASE_RULE = (
+    "CASE WHEN length({x}) >= 5 "
+    "THEN concat(upper(substring({x}, 1, 1)), substring({x}, 2)) "
+    "ELSE {x} END"
+)
+
+
+def _sens_corpus(spark: SparkSession, sf_dir: str):
+    """Two-layer index: insensitive `word` + case-sensitive `word_s`
+    (the reference's @i / @s sensitivity fields, MatchSensitivity.java)."""
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_sens_v1"
+    root = os.path.join(CACHE_ROOT, name)
+    d = _tokenized_docs(spark, sf_dir)
+    frame = d.select(
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("tokens").alias("word"),
+        F.expr(
+            f"transform(tokens, x -> {_CASE_RULE.format(x='x')})"
+        ).alias("word_s"),
+    )
+    build_annotated_index(
+        spark, frame, root, {"word": "word", "word_s": "word_s"}, resume=True
+    )
+    return AnnotatedCorpus(spark, root)
+
+
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a tokens column (for operators that don't need the
     full index) — same tokenizer as the engine, applied JVM-side."""
@@ -170,6 +200,39 @@ pos AS (
   SELECT doc_id, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok, toks
   FROM t
 )
+"""
+
+
+def _near_pairs_sql(threshold: float, bands: int, rpb: int, dim: int = 64) -> str:
+    """DuckDB reproduction of the banded sign-LSH bucketing: the ±1 plane
+    components are md5-derived constants (similarity.plane_sign), inlined
+    here as literal arrays so both engines fold the identical numbers in
+    the identical order."""
+    from blacklab_spark.operators.similarity import plane_sign
+
+    band_cols = []
+    for b in range(bands):
+        bits = []
+        for r in range(rpb):
+            arr = "[" + ", ".join(
+                str(plane_sign(b * rpb + r, d)) for d in range(dim)
+            ) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {arr}) >= 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+            )
+        band_cols.append("(" + " + ".join(bits) + f") AS b{b}")
+    ors = " OR ".join(f"a.b{b} = x.b{b}" for b in range(bands))
+    cos = (
+        "list_dot_product(a.v, x.v) / (sqrt(list_dot_product(a.v, a.v))"
+        " * sqrt(list_dot_product(x.v, x.v)))"
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sig AS (SELECT vec_id, v, {", ".join(band_cols)} FROM e)
+SELECT a.vec_id AS id_a, x.vec_id AS id_b, round({cos}, 6) AS cosine
+FROM sig a JOIN sig x ON a.vec_id < x.vec_id AND ({ors})
+WHERE {cos} >= {threshold}
 """
 
 
@@ -365,11 +428,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
         out = similarity.cosine_topk(emb, [float(x) for x in qv], k=K)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
-
-    def embedding_near_pairs(spark, sf_dir):
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        out = similarity.exact_near_pairs(emb, threshold=0.4)
-        return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
     def token_count(spark, sf_dir):
         return textstats.token_counts(_load_documents(spark, sf_dir), "text", "doc_id")
@@ -605,6 +663,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = _corpus(spark, sf_dir)
         return S.fuzzy_terms(c.term_dict, "joins", 1).select("term", "df", "cf", "dist")
 
+    def sens_cql(spark, sf_dir):
+        # case-SENSITIVE term on the @s layer followed by an insensitive
+        # term: [word_s="Table"] "key" (MatchSensitivity @s/@i routing)
+        ac = _sens_corpus(spark, sf_dir)
+        hits = ac.find_cql('[word_s="Table"] "key"')
+        return _to_orig(ac.word, hits, "start", "end")
+
+    def cosine_near_pairs(spark, sf_dir):
+        # the SCALE path for embedding near-dup: banded sign-LSH candidates
+        # (keyed equi-join on (band, bucket), never a cross product), exact
+        # cosine on candidates only — VERDICT r2 asked for this to replace
+        # the O(n²) exact demo (which remains as exact_near_pairs, pytest'd)
+        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+        out = similarity.cosine_near_pairs(
+            emb, threshold=0.4, bands=3, rows_per_band=4
+        )
+        return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
     # non-SQL-expressible (rows-only check): approximate ANN via sign-LSH
     def ann_lsh_topk(spark, sf_dir):
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
@@ -642,7 +718,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_values": simhash_values,
         "embedding_topk": embedding_topk,
-        "embedding_near_pairs": embedding_near_pairs,
+        "cosine_near_pairs": cosine_near_pairs,
+        "sens_cql": sens_cql,
         "token_count": token_count,
         "quality": quality,
         "lang_id": lang_id,
@@ -830,15 +907,23 @@ ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
          vec_id ASC
 LIMIT 10
 """,
-        "embedding_near_pairs": """
-WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v)
-             / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))),
-             6) AS cosine
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.v, b.v)
-      / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.4
+        "cosine_near_pairs": _near_pairs_sql(0.4, bands=3, rpb=4),
+        "sens_cql": f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         list_transform(toks, x -> {_CASE_RULE.format(x='x')}) AS cased
+  FROM t
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, toks, cased FROM c
+)
+SELECT doc_id, i - 1 AS start, i + 1 AS "end"
+FROM pos
+WHERE cased[i] = 'Table' AND i + 1 <= len(toks) AND toks[i + 1] = 'key'
 """,
         "token_count": f"""
 SELECT doc_id AS id,

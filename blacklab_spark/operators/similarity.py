@@ -52,37 +52,77 @@ def cosine_topk(
     )
 
 
-def _plane_component(plane: int, dim_col):
-    """Deterministic ±1 hyperplane component from md5('p<plane>:<dim>')."""
-    h = F.conv(
-        F.substring(F.md5(F.concat(F.lit(f"p{plane}:"), dim_col.cast("string"))), 1, 8),
-        16, 10,
-    ).cast("long")
-    return F.when(h % 2 == 0, F.lit(1.0)).otherwise(F.lit(-1.0))
+def plane_sign(plane: int, dim: int) -> float:
+    """Deterministic ±1 hyperplane component from md5('p<plane>:<dim>') —
+    reproducible anywhere md5 exists (the DuckDB oracle inlines the same
+    values as literals)."""
+    import hashlib
+
+    h = int(hashlib.md5(f"p{plane}:{dim}".encode()).hexdigest()[:8], 16)
+    return 1.0 if h % 2 == 0 else -1.0
+
+
+def _vec_dim(emb: DataFrame, vec_col: str) -> int:
+    return emb.select(F.size(vec_col).alias("d")).first()["d"]
+
+
+def _bucket_expr(vec_col: str, planes: list[list[float]]):
+    """Packed sign-bucket over literal plane vectors: a per-row zip_with dot
+    + left fold, entirely inside codegen — NO shuffle, NO per-row hashing
+    (the ±1 components are driver-side literals). Replaces the old
+    posexplode+groupBy formulation, which shuffled every (row, dim) pair."""
+    bucket = None
+    for p, plane in enumerate(planes):
+        arr = F.array(*[F.lit(x) for x in plane])
+        s = F.aggregate(
+            F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bit = F.when(s >= 0, F.lit(1 << p)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    return bucket.cast("long")
 
 
 def signlsh_signature(emb: DataFrame, num_planes: int = 8,
-                      id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
-    """(id, bucket): sign-LSH bucket from num_planes deterministic ±1 planes.
+                      id_col: str = "vec_id", vec_col: str = "embedding",
+                      dim: int | None = None) -> DataFrame:
+    """(id, bucket): sign-LSH bucket from num_planes deterministic ±1 planes,
+    computed as a narrow map over the embedding column."""
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
+    planes = [[plane_sign(p, d) for d in range(dim)] for p in range(num_planes)]
+    return emb.select(
+        F.col(id_col).alias("id"), _bucket_expr(vec_col, planes).alias("bucket")
+    )
 
-    sign(v · r_p) per plane, packed into an int bucket id. The projection is
-    computed with built-in array ops over (dim, value) pairs.
-    """
-    dims = emb.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(vec_col).alias("dim", "val"),
-    )
-    proj = dims.groupBy("id").agg(
-        *[
-            F.sum(F.col("val").cast("double") * _plane_component(p, F.col("dim"))).alias(f"s{p}")
-            for p in range(num_planes)
+
+def signlsh_band_signatures(
+    emb: DataFrame, bands: int, rows_per_band: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """(id, band, bucket): one small sign-LSH bucket per band (plane index =
+    band*rows_per_band + r) — the banding trick from MinHash-LSH applied to
+    sign-LSH: a pair is a candidate if it collides in ANY band, so recall is
+    1-(1-s^r)^b instead of s^(r*b). Output is exploded by band, ready for a
+    (band, bucket)-keyed self-join."""
+    if dim is None:
+        dim = _vec_dim(emb, vec_col)
+    per_band = []
+    for b in range(bands):
+        planes = [
+            [plane_sign(b * rows_per_band + r, d) for d in range(dim)]
+            for r in range(rows_per_band)
         ]
-    )
-    bucket = None
-    for p in range(num_planes):
-        bit = F.when(F.col(f"s{p}") >= 0, F.lit(1 << p)).otherwise(F.lit(0))
-        bucket = bit if bucket is None else bucket + bit
-    return proj.select("id", bucket.cast("long").alias("bucket"))
+        per_band.append(
+            F.struct(F.lit(b).alias("band"),
+                     _bucket_expr(vec_col, planes).alias("bucket"))
+        )
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(F.array(*per_band)).alias("bb"),
+    ).select("id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
 
 
 def signlsh_topk(
@@ -96,16 +136,9 @@ def signlsh_topk(
     if sig is None:
         sig = signlsh_signature(emb, num_planes, id_col, vec_col)
     qv = np.asarray(query_vec, dtype="float64")
-
-    import hashlib
-
-    def comp(plane: int, dim: int) -> float:
-        h = int(hashlib.md5(f"p{plane}:{dim}".encode()).hexdigest()[:8], 16)
-        return 1.0 if h % 2 == 0 else -1.0
-
     qbucket = 0
     for p in range(num_planes):
-        s = sum(qv[d] * comp(p, d) for d in range(len(qv)))
+        s = sum(qv[d] * plane_sign(p, d) for d in range(len(qv)))
         if s >= 0:
             qbucket |= 1 << p
     probe = [qbucket]
@@ -208,24 +241,41 @@ def exact_near_pairs(
 
 
 def cosine_near_pairs(
-    emb: DataFrame, threshold: float = 0.9, num_planes: int = 8,
+    emb: DataFrame, threshold: float = 0.9,
+    bands: int = 1, rows_per_band: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
-    """Embedding near-duplicate pairs: bucket by sign-LSH, exact cosine within
-    buckets (candidates only — never the full cross product)."""
-    sig = signlsh_signature(emb, num_planes, id_col, vec_col)
+    """Embedding near-duplicate pairs at scale: banded sign-LSH candidate
+    generation, exact cosine on candidates only — never the full cross
+    product. The join is keyed on (band, bucket), so the shuffle is
+    candidate-sized; recall 1-(1-s^r)^b is tuned by bands × rows_per_band
+    (bands=1 = the classic single-signature AND over all planes).
+    `max_bucket_size` drops degenerate buckets (the same skew cap as
+    minhash_lsh_pairs) so one hot bucket can't go quadratic."""
+    sig = signlsh_band_signatures(emb, bands, rows_per_band, id_col, vec_col)
+    if max_bucket_size is not None:
+        ok = (
+            sig.groupBy("band", "bucket").count()
+            .filter(F.col("count") <= max_bucket_size)
+            .select("band", "bucket")
+        )
+        sig = sig.join(ok, ["band", "bucket"], "left_semi")
     e = emb.join(sig, emb[id_col] == sig["id"]).select(
-        F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"), "bucket"
+        F.col(id_col).alias("rid"), F.col(vec_col).alias("vec"), "band", "bucket"
     )
     a, b = e.alias("a"), e.alias("b")
-    pairs = a.join(
-        b,
-        (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.rid") < F.col("b.rid")),
-    )
-    sim = _dot(F.col("a.vec"), F.col("b.vec")) / (_norm(F.col("a.vec")) * _norm(F.col("b.vec")))
-    return (
-        pairs.select(
-            F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"), sim.alias("cosine")
+    cand = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("a.rid") < F.col("b.rid"))
+        .select(
+            F.col("a.rid").alias("id_a"), F.col("b.rid").alias("id_b"),
+            F.col("a.vec").alias("va"), F.col("b.vec").alias("vb"),
         )
+        .dropDuplicates(["id_a", "id_b"])  # collapse multi-band collisions
+    )
+    sim = _dot(F.col("va"), F.col("vb")) / (_norm(F.col("va")) * _norm(F.col("vb")))
+    return (
+        cand.select("id_a", "id_b", sim.alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

@@ -54,6 +54,8 @@ UNBOUNDED = 1 << 30
 MAX_ALTERNATIVES = 64  # cap for optional-unit expansion
 
 _PLAIN_TERM = re.compile(r"^[a-z0-9']+$")
+_PLAIN_TERM_ANYCASE = re.compile(r"^[A-Za-z0-9']+$")
+_SENS_FLAG = re.compile(r"^\(\?(?:-i|c)\)")  # (?-i) / (?c): case-sensitive
 
 
 # ------------------------------------------------------------------- AST ----
@@ -378,8 +380,33 @@ class CqlCompiler:
         return self.layers[annot]
 
     def _eq_spans(self, pattern: str, annot: str = "word") -> DataFrame:
+        """Pattern → spans on one annotation layer, with the reference's
+        match-sensitivity routing (MatchSensitivity.java:14-17):
+
+        * a ``(?-i)`` / ``(?c)`` pattern prefix forces the case/diacritics-
+          SENSITIVE field — here the ``<annot>_s`` layer, which indexes
+          case-preserving tokens (tokenizer.tokenize_sensitive);
+        * on an insensitive layer a LITERAL pattern is desensitized
+          (lowercased) first, like the reference desensitizes the search
+          string for @i fields — so [word="Table"] finds "table". Regex
+          patterns are passed through unchanged (documented divergence:
+          the reference lowercases those too, which corrupts classes
+          like \\D; we prefer exactness for regexes)."""
+        m = _SENS_FLAG.match(pattern)
+        if m:
+            pattern = pattern[m.end():]
+            if not annot.endswith("_s"):
+                annot = annot + "_s"
+            if annot not in self.layers:
+                raise ValueError(
+                    f"case-sensitive search needs an indexed {annot!r} layer"
+                )
+        elif not annot.endswith("_s") and _PLAIN_TERM_ANYCASE.match(pattern):
+            pattern = pattern.lower()
         layer = self._layer(annot)
-        if _PLAIN_TERM.match(pattern):
+        if _PLAIN_TERM.match(pattern) or (
+            annot.endswith("_s") and _PLAIN_TERM_ANYCASE.match(pattern)
+        ):
             terms = [pattern]
         else:
             terms = layer.expand_pattern(pattern, max_terms=self.max_expand)

@@ -274,6 +274,40 @@ def test_ivf_topk(spark):
     assert len(set(p1) & set(exact)) >= 8
 
 
+def test_cosine_near_pairs_banded(spark):
+    # clustered vectors so near-pairs exist; banded LSH output must be a
+    # subset of exact pairs, find the tight same-cluster pairs, and carry
+    # EXACT cosines (not approximations)
+    rng = np.random.default_rng(11)
+    centers = rng.normal(size=(4, 16)) * 5
+    vecs = np.stack([centers[i % 4] + rng.normal(size=16) * 0.05 for i in range(60)])
+    pdf = pd.DataFrame({
+        "vec_id": range(60),
+        "embedding": [v.astype("float32").tolist() for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf)
+    V = vecs.astype("float64")
+    C = (V @ V.T) / np.outer(np.linalg.norm(V, axis=1), np.linalg.norm(V, axis=1))
+    exact = {(i, j) for i in range(60) for j in range(i + 1, 60) if C[i, j] >= 0.9}
+    got = similarity.cosine_near_pairs(
+        emb, threshold=0.9, bands=3, rows_per_band=4
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["cosine"] for r in got.collect()}
+    assert set(pairs) <= exact
+    assert len(pairs) >= 0.8 * len(exact)  # banding keeps recall high
+    for (i, j), c in pairs.items():
+        assert abs(c - C[i, j]) < 1e-6  # float32 storage, exact math
+    # the plan must be a keyed equi-join on (band, bucket) — NEVER cartesian
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # bucket-size cap drops hot buckets instead of going quadratic
+    capped = similarity.cosine_near_pairs(
+        emb, threshold=0.9, bands=3, rows_per_band=4, max_bucket_size=2
+    )
+    assert capped.count() <= len(pairs)
+
+
 def test_textstats(spark, docs):
     tc = {r["id"]: (r["n_ws_tokens"], r["n_re_tokens"], r["n_chars"])
           for r in textstats.token_counts(docs, "text", "doc_id").collect()}
