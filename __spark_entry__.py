@@ -166,6 +166,24 @@ def _sens_corpus(spark: SparkSession, sf_dir: str):
     return AnnotatedCorpus(spark, root)
 
 
+def _mv_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """Multi-value-position index: every position carries the original token
+    PLUS a deterministic synonym 'syn_<first letter>' (position-increment-0
+    indexing, AnnotationWriter.java:267-291)."""
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_mv_v1"
+    path = os.path.join(CACHE_ROOT, name)
+    d = _tokenized_docs(spark, sf_dir)
+    frame = d.select(
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.expr(
+            "transform(tokens, x -> array(x, concat('syn_', substring(x, 1, 1))))"
+        ).alias("tokens"),
+    )
+    build_index(spark, frame, path, resume=True)
+    return Corpus(spark, path)
+
+
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a tokens column (for operators that don't need the
     full index) — same tokenizer as the engine, applied JVM-side."""
@@ -663,6 +681,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         c = _corpus(spark, sf_dir)
         return S.fuzzy_terms(c.term_dict, "joins", 1).select("term", "df", "cf", "dist")
 
+    def multivalue_tokens(spark, sf_dir):
+        # synonym indexed at the same position as the word: searching the
+        # synonym finds the position ("The|DOH|ZZZ" TestIndex semantics);
+        # a sequence can enter via the synonym and continue via the word
+        c = _mv_corpus(spark, sf_dir)
+        return _to_orig(c, c.find_cql('[word="syn_t"] "key"'), "start", "end")
+
     def sens_cql(spark, sf_dir):
         # case-SENSITIVE term on the @s layer followed by an insensitive
         # term: [word_s="Table"] "key" (MatchSensitivity @s/@i routing)
@@ -720,6 +745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_topk": embedding_topk,
         "cosine_near_pairs": cosine_near_pairs,
         "sens_cql": sens_cql,
+        "multivalue_tokens": multivalue_tokens,
         "token_count": token_count,
         "quality": quality,
         "lang_id": lang_id,
@@ -908,6 +934,13 @@ ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
 LIMIT 10
 """,
         "cosine_near_pairs": _near_pairs_sql(0.4, bands=3, rpb=4),
+        "multivalue_tokens": f"""
+WITH {_POS_CTES}
+SELECT doc_id, i - 1 AS start, i + 1 AS "end"
+FROM pos
+WHERE substring(tok, 1, 1) = 't'
+  AND i + 1 <= len(toks) AND toks[i + 1] = 'key'
+""",
         "sens_cql": f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks

@@ -149,17 +149,37 @@ def _term_counts_batches(batches):
         loffs = toks.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
         loffs = loffs - loffs[0]
         lengths = np.diff(loffs)
-        total = int(lengths.sum())
-        if total == 0:
-            continue
-        flat = toks.flatten()
+        if pa.types.is_list(toks.type.value_type):
+            # MULTI-VALUE positions (array<array<string>>): the OUTER index
+            # is the token position, every value in the inner list is
+            # indexed AT that position — the reference's position-increment-
+            # 0 synonym indexing (AnnotationWriter.java:267-291; the
+            # "The|DOH|ZZZ" TestIndex fixture, TestIndex.java:102-106).
+            inner = toks.flatten()  # list<string>, one entry per position
+            ioffs = inner.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            ioffs = ioffs - ioffs[0]
+            vcounts = np.diff(ioffs)  # values per position
+            total = int(vcounts.sum())
+            if total == 0:
+                continue
+            flat = inner.flatten()
+            n_outer = len(inner)
+            row_per_elem = np.repeat(np.arange(n_rows), lengths)
+            pos_per_elem = np.arange(n_outer) - np.repeat(loffs[:-1], lengths)
+            row_idx = np.repeat(row_per_elem, vcounts)
+            pos = np.repeat(pos_per_elem, vcounts)
+        else:
+            total = int(lengths.sum())
+            if total == 0:
+                continue
+            flat = toks.flatten()
+            row_idx = np.repeat(np.arange(n_rows), lengths)
+            pos = np.arange(total) - np.repeat(loffs[:-1], lengths)
         # dictionary_encode = Arrow-native factorize (C++, no Python objects)
         denc = flat.dictionary_encode()
         codes = denc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
         dictionary = denc.dictionary
 
-        row_idx = np.repeat(np.arange(n_rows), lengths)
-        pos = np.arange(total) - np.repeat(loffs[:-1], lengths)
         order = np.lexsort((pos, codes, row_idx))
         r, c, p = row_idx[order], codes[order], pos[order]
         new_grp = np.concatenate(([True], (r[1:] != r[:-1]) | (c[1:] != c[:-1])))
@@ -256,6 +276,15 @@ def build_index(
         bc_offsets = spark.sparkContext.broadcast(offsets)
 
         pretokenized = "tokens" in transcripts.columns
+        # array<array<string>> input = MULTI-VALUE positions: outer index is
+        # the token position, inner lists are the values indexed there
+        # (position-increment-0 synonyms). The docs table keeps the MAIN
+        # (first) value per position as `tokens` — the forward-index view
+        # KWIC/constraints read, like the reference's forward index shows
+        # the main value — plus the full `tokens_mv` for the postings pass.
+        multivalue = pretokenized and isinstance(
+            transcripts.schema["tokens"].dataType.elementType, T.ArrayType
+        )
         out_schema = T.StructType(
             [f for f in transcripts.schema.fields if f.name != "tokens"]
             + [
@@ -263,6 +292,13 @@ def build_index(
                 T.StructField("tokens", T.ArrayType(T.StringType())),
                 T.StructField("dl", T.IntegerType()),
             ]
+            + (
+                [T.StructField(
+                    "tokens_mv",
+                    T.ArrayType(T.ArrayType(T.StringType())),
+                )]
+                if multivalue else []
+            )
         )
 
         def assign_and_tokenize(batches):
@@ -270,7 +306,14 @@ def build_index(
             base = bc_offsets.value.get(pid, 0)
             seen = 0
             for pdf in batches:
-                if pretokenized:
+                extra = {}
+                if multivalue:
+                    mv = pdf.pop("tokens").map(
+                        lambda lists: [list(x) for x in lists]
+                    )
+                    toks = mv.map(lambda lists: [x[0] for x in lists])
+                    extra["tokens_mv"] = mv
+                elif pretokenized:
                     toks = pdf.pop("tokens").map(list)
                 else:
                     toks = tokenize_series(pdf["text"])
@@ -278,6 +321,7 @@ def build_index(
                     doc_id=np.arange(seen, seen + len(pdf), dtype="int64") + base,
                     tokens=toks,
                     dl=toks.str.len().astype("int32"),
+                    **extra,
                 )
                 seen += len(pdf)
                 yield pdf
@@ -326,7 +370,11 @@ def build_index(
     # parallel; caching 10^12-scale position lists would cost more in
     # serialization + memory pressure than recomputing the map stage for its
     # two consumers (measured: persist added ~10 s/480k turns and didn't scale).
-    tfpos = docs.select("doc_id", "dl", "tokens").mapInArrow(
+    tok_src = (
+        F.col("tokens_mv").alias("tokens")
+        if "tokens_mv" in docs.columns else F.col("tokens")
+    )
+    tfpos = docs.select("doc_id", "dl", tok_src).mapInArrow(
         _term_counts_batches, schema=_TFPOS_SCHEMA
     )
 
