@@ -184,6 +184,51 @@ def _mv_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
     return Corpus(spark, path)
 
 
+def _conllu_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
+    """CoNLL-U ingest end-to-end: render the first 50 documents as a
+    deterministic .conllu file (FORM/LEMMA/UPOS via the shared derived-layer
+    rules), parse it back with read_conllu_annotated, build the layered
+    index, query it. Engine doc_id == document rank (one sentence block per
+    document, one file), which the oracle reproduces with row_number()."""
+    from blacklab_spark.operators.textstats import STOPWORDS
+    from blacklab_spark.sources.readers import read_conllu_annotated
+
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_conllu_v1"
+    root = os.path.join(CACHE_ROOT, name)
+    fpath = os.path.join(root, "input.conllu")
+    if not os.path.exists(fpath):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            _tokenized_docs(spark, sf_dir)
+            .filter(F.size("tokens") > 0)
+            .orderBy("doc_id").limit(50)
+            .select("tokens").collect()
+        )
+        stop = set(STOPWORDS)
+
+        def pos_of(w: str) -> str:
+            return "func" if w in stop else ("long" if len(w) >= 6 else "short")
+
+        blocks = [
+            "\n".join(
+                f"{i + 1}\t{w}\t{w[0]}\t{pos_of(w)}"
+                for i, w in enumerate(r["tokens"])
+            )
+            for r in rows
+        ]
+        tmp = fpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n\n".join(blocks) + "\n")
+        os.rename(tmp, fpath)
+    frame = read_conllu_annotated(spark, fpath)
+    build_annotated_index(
+        spark, frame, os.path.join(root, "idx"),
+        {"word": "word", "lemma": "lemma", "pos": "pos"},
+        doc_key=("conv_id", "turn_idx"), resume=True,
+    )
+    return AnnotatedCorpus(spark, os.path.join(root, "idx"))
+
+
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a tokens column (for operators that don't need the
     full index) — same tokenizer as the engine, applied JVM-side."""
@@ -343,11 +388,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = _orig_ids(c, c.score_or([TERM]))
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
-    def bm25_topk_term(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        out = _orig_ids(c, c.search_or([TERM], k=K))
-        return out.select("doc_id", F.round("score", 4).alias("score"))
-
     def bm25_topk_or(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         out = _orig_ids(c, c.search_or(OR_TERMS, k=K))
@@ -369,8 +409,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     def term_dict(spark, sf_dir):
+        # TermFrequencyList off the index AND the FrequencyTool scan path,
+        # inner-joined on all three columns: a row survives only when the
+        # two independent computations agree, so divergence shows up as a
+        # row-count drop against the oracle
         c = _corpus(spark, sf_dir)
-        return c.term_dict.select("term", "df", "cf")
+        idx = c.term_dict.select("term", "df", "cf")
+        scan = grouping.term_frequencies(_tokenized_docs(spark, sf_dir))
+        return idx.join(scan, ["term", "df", "cf"])
 
     def doc_lengths(spark, sf_dir):
         c = _corpus(spark, sf_dir)
@@ -380,40 +426,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .select(F.col("orig").alias("doc_id"), F.col("dl").cast("long").alias("dl"))
         )
 
-    def term_freq(spark, sf_dir):
-        docs = _tokenized_docs(spark, sf_dir)
-        return grouping.term_frequencies(docs)
-
     def facets_lang(spark, sf_dir):
         return grouping.facets(_load_documents(spark, sf_dir), "lang")
-
-    def hits_by_lang(spark, sf_dir):
-        # tf per doc comes straight off the inverted index (no token scan);
-        # metadata (lang) lives in the original documents table
-        c = _corpus(spark, sf_dir)
-        tf = _to_orig(c, c.term_postings(TERM), "tf")
-        meta = _load_documents(spark, sf_dir)
-        return grouping.group_hits_by_meta_tf(tf, meta, "lang")
 
     def collocations(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return grouping.collocations_hits(_hits_from_index(c, TERM), c.docs, window=2)
 
     def kwic(spark, sf_dir):
+        # KWIC and highlight snippets over the same postings-decoded hits —
+        # one entry exercises both §2.4 concordance ops
         c = _corpus(spark, sf_dir)
-        out = grouping.kwic_hits(_hits_from_index(c, TERM), c.docs, context=2)
-        return _to_orig(c, out, "pos", "left", "match", "right")
-
-    def highlight(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        out = grouping.highlight_snippets(
-            _hits_from_index(c, TERM), c.docs, context=2
-        )
-        return _to_orig(c, out, "pos", "snippet")
-
-    def sample_docs(spark, sf_dir):
-        d = _load_documents(spark, sf_dir)
-        return grouping.sample_deterministic(d, "doc_id", 1, 10).select("doc_id")
+        hits = _hits_from_index(c, TERM)
+        kw = grouping.kwic_hits(hits, c.docs, context=2)
+        hl = grouping.highlight_snippets(hits, c.docs, context=2)
+        out = kw.join(hl, ["doc_id", "pos"])
+        return _to_orig(c, out, "pos", "left", "match", "right", "snippet")
 
     def hits_page(spark, sf_dir):
         c = _corpus(spark, sf_dir)
@@ -447,24 +475,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         out = similarity.cosine_topk(emb, [float(x) for x in qv], k=K)
         return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
-    def token_count(spark, sf_dir):
-        return textstats.token_counts(_load_documents(spark, sf_dir), "text", "doc_id")
-
-    def quality(spark, sf_dir):
-        q = textstats.quality_score(_load_documents(spark, sf_dir), "text", "doc_id")
-        return q.select(
+    def textstats_suite(spark, sf_dir):
+        # the four text-analysis ops (token counting, quality scoring,
+        # language-ID, fingerprinting) joined on doc id — one wide entry,
+        # every column oracle-checked
+        d = _load_documents(spark, sf_dir)
+        tc = textstats.token_counts(d, "text", "doc_id")
+        q = textstats.quality_score(d, "text", "doc_id").select(
             "id",
             F.round("stopword_ratio", 6).alias("stopword_ratio"),
             F.round("mean_token_len", 6).alias("mean_token_len"),
             F.round("alnum_ratio", 6).alias("alnum_ratio"),
             "quality",
         )
-
-    def lang_id(spark, sf_dir):
-        return textstats.lang_id(_load_documents(spark, sf_dir), "text", "doc_id")
-
-    def fingerprint(spark, sf_dir):
-        return textstats.fingerprint(_load_documents(spark, sf_dir), "text", "doc_id")
+        li = textstats.lang_id(d, "text", "doc_id")
+        fp = textstats.fingerprint(d, "text", "doc_id")
+        return tc.join(q, "id").join(li, "id").join(fp, "id")
 
     def events_hourly(spark, sf_dir):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
@@ -555,16 +581,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- span algebra (SURVEY.md §2.3) — postings-backed leaves: every
     # span entry decodes (doc_id, positions) from the positional postings
     # (Corpus.spans_term), not a full-corpus re-tokenize+posexplode scan ----
-    def span_sequence_gap(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        seq = S.sequence(c.spans_term("join"), c.spans_term("scan"), 0, 2)
-        return _to_orig(c, seq, "start", "end")
-
-    def span_within(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        bigram = S.sequence(c.spans_term("table"), c.spans_term("hash"))
-        return _to_orig(c, S.within(c.spans_term("hash"), bigram), "start", "end")
-
     def span_containing(spark, sf_dir):
         # join hits expanded ±2, kept only if the window contains a scan hit
         c = _corpus(spark, sf_dir)
@@ -578,16 +594,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         nots = S.span_not_tokens(c.docs, c.spans_term("join"))
         out = nots.groupBy("doc_id").agg(F.count("*").alias("n_not"))
         return _to_orig(c, out, "n_not")
-
-    def span_repetition(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        rep = S.repetition(c.spans_term("vector"), 2, 2)
-        return _to_orig(c, rep, "start", "end")
-
-    def span_expand(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        ex = S.expand(c.spans_term("join"), c.docs, left=1, right=1)
-        return _to_orig(c, ex, "start", "end")
 
     # ---- BCQL query strings (plans/cql.py) — parser-driven span queries;
     # each compiles onto the same postings-backed algebra as the span_*
@@ -658,11 +664,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         sp = c.find_cql('A:[] "join"')
         return grouping.group_hits_by_capture(sp, c.docs, "A")
 
-    def annot_lemma(spark, sf_dir):
-        # lemma class 's' covers scan/small/slow/sort/spark/stream
-        ac = _annot_corpus(spark, sf_dir)
-        return _to_orig(ac.word, ac.find_cql('[lemma="s"]'), "start", "end")
-
     def annot_lemma_pos(spark, sf_dir):
         # lemma class 's' ∩ pos 'long' — of the six s-words only 'stream'
         # is ≥6 chars: a genuine two-layer intersection at one position
@@ -680,6 +681,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def fuzzy_expand(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return S.fuzzy_terms(c.term_dict, "joins", 1).select("term", "df", "cf", "dist")
+
+    def conllu_ingest(spark, sf_dir):
+        # DocIndexerCoNLLU analog end-to-end: file → parse → layered build →
+        # two-layer query ([lemma="s" & pos="long"]); doc_id = document rank
+        ac = _conllu_corpus(spark, sf_dir)
+        return ac.find_cql('[lemma="s" & pos="long"]').select(
+            "doc_id", "start", "end"
+        )
+
+    def multimodal_features(spark, sf_dir):
+        # opaque-binary → feature-vector plumbing (mapInPandas, Arrow
+        # batches): payload = utf-8 document text, decode = the sha256-
+        # derived deterministic fake (no media libs in this container; a
+        # real decoder slots into the same plan). Features exploded to
+        # (media_id, dim, f) so the oracle can hash plain scalars.
+        from blacklab_spark.operators import multimodal
+
+        d = _load_documents(spark, sf_dir)
+        media = d.select(
+            F.col("doc_id").alias("media_id"),
+            F.lit("text").alias("kind"),
+            F.encode("text", "utf-8").alias("payload"),
+        )
+        feats = multimodal.extract_features(media)
+        return feats.select(
+            "media_id", F.posexplode("features").alias("dim", "f")
+        ).select(
+            "media_id",
+            F.col("dim").cast("long").alias("dim"),
+            F.round(F.col("f").cast("double"), 6).alias("f"),
+        )
 
     def multivalue_tokens(spark, sf_dir):
         # synonym indexed at the same position as the word: searching the
@@ -721,35 +753,53 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             emb, [float(x) for x in qv], k=K, n_centroids=16, nprobe=4
         ).select("vec_id", F.round("cosine", 6).alias("cosine"))
 
+    # EXACTLY 50 entries (the driver's per-round verification cap), ordered
+    # so that entries that have never had a CORRECTNESS row — plus this
+    # round's new ones — come FIRST (VERDICT r2 "What's wrong" #1).
+    # Consolidations that paid for the new slots (coverage retained):
+    #   bm25_topk_term ⊂ bm25_term_scores + bm25_topk_or
+    #   highlight      → merged into kwic (snippet column)
+    #   term_freq      → merged into term_dict (dual-path inner join)
+    #   token_count/quality/lang_id/fingerprint → textstats_suite (wide join)
+    #   hits_by_lang   ⊂ hits_group_composite / hit_groups_sampled
+    #   sample_docs    ⊂ sample_fixed (seeded fixed-n sampler)
+    #   span_within / span_repetition / span_sequence_gap ⊂ span_cql_* twins
+    #   span_expand    ⊂ span_containing (producer is an expansion)
+    #   annot_lemma    ⊂ annot_lemma_pos
     return {
+        # -- never driver-verified in r2 (the 50-entry cutoff) --------------
+        "annot_lemma_pos": annot_lemma_pos,
+        "annot_constraint": annot_constraint,
+        "annot_lemma_freq": annot_lemma_freq,
+        "hits_by_capture": hits_by_capture,
+        "hit_groups_sampled": hit_groups_sampled,
+        "fuzzy_expand": fuzzy_expand,
+        "ann_lsh_topk": ann_lsh_topk,
+        "ann_ivf_topk": ann_ivf_topk,
+        # -- new this round --------------------------------------------------
+        "cosine_near_pairs": cosine_near_pairs,
+        "sens_cql": sens_cql,
+        "multivalue_tokens": multivalue_tokens,
+        "conllu_ingest": conllu_ingest,
+        "multimodal_features": multimodal_features,
+        "textstats_suite": textstats_suite,
+        # -- green in r2 -----------------------------------------------------
         "bm25_term_scores": bm25_term_scores,
-        "bm25_topk_term": bm25_topk_term,
         "bm25_topk_or": bm25_topk_or,
         "bm25_or_scores": bm25_or_scores,
         "bm25_and_scores": bm25_and_scores,
         "bm25_phrase": bm25_phrase,
         "term_dict": term_dict,
         "doc_lengths": doc_lengths,
-        "term_freq": term_freq,
         "facets_lang": facets_lang,
-        "hits_by_lang": hits_by_lang,
         "collocations": collocations,
         "kwic": kwic,
-        "highlight": highlight,
-        "sample_docs": sample_docs,
         "hits_page": hits_page,
         "dedup_exact": dedup_exact,
         "ngram_jaccard": ngram_jaccard,
         "minhash_lsh_pairs": minhash_lsh_pairs,
         "simhash_values": simhash_values,
         "embedding_topk": embedding_topk,
-        "cosine_near_pairs": cosine_near_pairs,
-        "sens_cql": sens_cql,
-        "multivalue_tokens": multivalue_tokens,
-        "token_count": token_count,
-        "quality": quality,
-        "lang_id": lang_id,
-        "fingerprint": fingerprint,
         "events_hourly": events_hourly,
         "ngram_freq": ngram_freq,
         "sessionization": sessionization,
@@ -761,28 +811,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed": sample_fixed,
         "span_overlap": span_overlap,
         "span_andnot": span_andnot,
-        "span_sequence_gap": span_sequence_gap,
-        "span_within": span_within,
         "span_containing": span_containing,
         "span_filtered_meta": span_filtered_meta,
         "span_not_counts": span_not_counts,
-        "span_repetition": span_repetition,
-        "span_expand": span_expand,
         "span_cql_seq": span_cql_seq,
         "span_cql_within": span_cql_within,
         "span_cql_rep": span_cql_rep,
         "span_cql_anytoken": span_cql_anytoken,
         "span_cql_constraint": span_cql_constraint,
         "span_cql_tokexpr": span_cql_tokexpr,
-        "hits_by_capture": hits_by_capture,
-        "hit_groups_sampled": hit_groups_sampled,
-        "annot_lemma_freq": annot_lemma_freq,
-        "annot_lemma": annot_lemma,
-        "annot_lemma_pos": annot_lemma_pos,
-        "annot_constraint": annot_constraint,
-        "fuzzy_expand": fuzzy_expand,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
     }
 
 
@@ -811,9 +848,73 @@ def oracle_sql() -> dict[str, str]:
     )
     stop_list = ", ".join("'" + w + "'" for w in textstats.STOPWORDS)
 
+    # the four text-analysis oracles, composed into the textstats_suite
+    # entry as parenthesized sub-CTEs (each body is a full SELECT)
+    tc_sql = f"""
+SELECT doc_id AS id,
+       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
+       len(regexp_extract_all(lower(text), '{_SQL_TOK}')) AS n_re_tokens,
+       length(text) AS n_chars
+FROM documents
+"""
+    q_sql = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM documents
+),
+m AS (
+  SELECT doc_id AS id,
+    CASE WHEN len(toks) > 0
+         THEN len(list_filter(toks, x -> list_contains([{stop_list}], x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS stopword_ratio,
+    CASE WHEN len(toks) > 0
+         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
+         ELSE 0.0 END AS mean_token_len,
+    CASE WHEN length(text) > 0
+         THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
+         ELSE 0.0 END AS alnum_ratio
+  FROM t
+)
+SELECT id, round(stopword_ratio, 6) AS stopword_ratio,
+       round(mean_token_len, 6) AS mean_token_len,
+       round(alnum_ratio, 6) AS alnum_ratio,
+       round(0.4 * alnum_ratio + 0.3 * least(stopword_ratio * 4, 1.0)
+             + 0.3 * least(mean_token_len / 8, 1.0), 6) AS quality
+FROM m
+"""
+    l_sql = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks FROM documents
+),
+q AS (SELECT doc_id, {lang_scores} FROM t),
+scores AS ({lang_union}),
+best AS (
+  SELECT id, lang, s,
+         row_number() OVER (PARTITION BY id ORDER BY s DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT id, lang AS lang_pred, s AS lang_score FROM best WHERE rn = 1
+"""
+    fp_sql = f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks FROM documents
+),
+pairs AS (
+  SELECT doc_id AS id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
+  FROM t
+),
+f AS (
+  SELECT id,
+         (sum((('0x' || substr(md5(tok), 1, 8))::BIGINT * ((pos % 64) + 1))
+              % 2305843009213693951) % 2305843009213693951)::BIGINT AS fp
+  FROM pairs GROUP BY id
+)
+SELECT d.doc_id AS id, coalesce(f.fp, 0)::BIGINT AS fp
+FROM documents d LEFT JOIN f ON f.id = d.doc_id
+"""
+
     return {
         "bm25_term_scores": _bm25_or_sql([TERM], None),
-        "bm25_topk_term": _bm25_or_sql([TERM], K),
         "bm25_topk_or": _bm25_or_sql(OR_TERMS, K),
         "bm25_or_scores": _bm25_or_sql(OR_TERMS, None),
         "bm25_and_scores": _bm25_and_sql(OR_TERMS),
@@ -826,17 +927,7 @@ SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term
 WITH {_BASE_CTES}
 SELECT d.doc_id, coalesce(dl.dl, 0) AS dl FROM documents d LEFT JOIN dl USING (doc_id)
 """,
-        "term_freq": f"""
-WITH {_BASE_CTES}
-SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf FROM tok GROUP BY term
-""",
         "facets_lang": "SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang",
-        "hits_by_lang": f"""
-WITH {_BASE_CTES},
-h AS (SELECT doc_id, count(*) AS tf FROM tok WHERE term = '{TERM}' GROUP BY doc_id)
-SELECT d.lang, sum(h.tf)::BIGINT AS n_hits, count(*) AS n_docs
-FROM h JOIN documents d USING (doc_id) GROUP BY d.lang
-""",
         "collocations": f"""
 WITH {_POS_CTES},
 h AS (SELECT doc_id, i FROM pos WHERE tok = '{TERM}')
@@ -850,12 +941,7 @@ WITH {_POS_CTES}
 SELECT doc_id, i - 1 AS pos,
        coalesce(array_to_string(toks[greatest(1, i - 2):i - 1], ' '), '') AS left,
        tok AS match,
-       coalesce(array_to_string(toks[i + 1:least(len(toks), i + 2)], ' '), '') AS right
-FROM pos WHERE tok = '{TERM}'
-""",
-        "highlight": f"""
-WITH {_POS_CTES}
-SELECT doc_id, i - 1 AS pos,
+       coalesce(array_to_string(toks[i + 1:least(len(toks), i + 2)], ' '), '') AS right,
        concat_ws(' ',
          nullif(coalesce(array_to_string(toks[greatest(1, i - 2):i - 1], ' '), ''), ''),
          '<<' || tok || '>>',
@@ -863,9 +949,12 @@ SELECT doc_id, i - 1 AS pos,
        ) AS snippet
 FROM pos WHERE tok = '{TERM}'
 """,
-        "sample_docs": """
-SELECT doc_id FROM documents
-WHERE ((doc_id * 2654435761) % 4294967296) * 10 < 4294967296
+        "textstats_suite": f"""
+WITH tc AS ({tc_sql}), qq AS ({q_sql}), ll AS ({l_sql}), fpp AS ({fp_sql})
+SELECT tc.id, tc.n_ws_tokens, tc.n_re_tokens, tc.n_chars,
+       qq.stopword_ratio, qq.mean_token_len, qq.alnum_ratio, qq.quality,
+       ll.lang_pred, ll.lang_score, fpp.fp
+FROM tc JOIN qq USING (id) JOIN ll USING (id) JOIN fpp USING (id)
 """,
         "hits_page": f"""
 WITH {_POS_CTES}
@@ -934,6 +1023,31 @@ ORDER BY list_dot_product(e.embedding::DOUBLE[], q.qe::DOUBLE[])
 LIMIT 10
 """,
         "cosine_near_pairs": _near_pairs_sql(0.4, bands=3, rpb=4),
+        "conllu_ingest": f"""
+WITH base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM documents
+),
+d AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rid, toks
+  FROM (SELECT * FROM base WHERE len(toks) > 0 ORDER BY doc_id LIMIT 50)
+),
+pos AS (SELECT rid, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok FROM d)
+SELECT rid AS doc_id, i - 1 AS start, i AS "end"
+FROM pos
+WHERE substring(tok, 1, 1) = 's' AND ({_pos_rule('tok')}) = 'long'
+""",
+        "multimodal_features": """
+WITH h AS (SELECT doc_id AS media_id, repeat(sha256(text), 3) AS hx FROM documents),
+dd AS (SELECT media_id, hx, unnest(range(16)) AS dim FROM h)
+SELECT media_id, dim,
+       round((((  ('0x' || substr(hx, dim*8 + 1, 2))::BIGINT
+                + ('0x' || substr(hx, dim*8 + 3, 2))::BIGINT * 256
+                + ('0x' || substr(hx, dim*8 + 5, 2))::BIGINT * 65536
+                + ('0x' || substr(hx, dim*8 + 7, 2))::BIGINT * 16777216
+              ) / 4294967296.0)::REAL)::DOUBLE, 6) AS f
+FROM dd
+""",
         "multivalue_tokens": f"""
 WITH {_POS_CTES}
 SELECT doc_id, i - 1 AS start, i + 1 AS "end"
@@ -957,68 +1071,6 @@ pos AS (
 SELECT doc_id, i - 1 AS start, i + 1 AS "end"
 FROM pos
 WHERE cased[i] = 'Table' AND i + 1 <= len(toks) AND toks[i + 1] = 'key'
-""",
-        "token_count": f"""
-SELECT doc_id AS id,
-       len(string_split_regex(trim(text), '\\s+')) AS n_ws_tokens,
-       len(regexp_extract_all(lower(text), '{_SQL_TOK}')) AS n_re_tokens,
-       length(text) AS n_chars
-FROM documents
-""",
-        "quality": f"""
-WITH t AS (
-  SELECT doc_id, text, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
-  FROM documents
-),
-m AS (
-  SELECT doc_id AS id,
-    CASE WHEN len(toks) > 0
-         THEN len(list_filter(toks, x -> list_contains([{stop_list}], x)))::DOUBLE / len(toks)
-         ELSE 0.0 END AS stopword_ratio,
-    CASE WHEN len(toks) > 0
-         THEN list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks)
-         ELSE 0.0 END AS mean_token_len,
-    CASE WHEN length(text) > 0
-         THEN length(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'))::DOUBLE / length(text)
-         ELSE 0.0 END AS alnum_ratio
-  FROM t
-)
-SELECT id, round(stopword_ratio, 6) AS stopword_ratio,
-       round(mean_token_len, 6) AS mean_token_len,
-       round(alnum_ratio, 6) AS alnum_ratio,
-       round(0.4 * alnum_ratio + 0.3 * least(stopword_ratio * 4, 1.0)
-             + 0.3 * least(mean_token_len / 8, 1.0), 6) AS quality
-FROM m
-""",
-        "lang_id": f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks FROM documents
-),
-q AS (SELECT doc_id, {lang_scores} FROM t),
-scores AS ({lang_union}),
-best AS (
-  SELECT id, lang, s,
-         row_number() OVER (PARTITION BY id ORDER BY s DESC, lang ASC) AS rn
-  FROM scores
-)
-SELECT id, lang AS lang_pred, s AS lang_score FROM best WHERE rn = 1
-""",
-        "fingerprint": f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks FROM documents
-),
-pairs AS (
-  SELECT doc_id AS id, generate_subscripts(toks, 1) - 1 AS pos, unnest(toks) AS tok
-  FROM t
-),
-f AS (
-  SELECT id,
-         (sum((('0x' || substr(md5(tok), 1, 8))::BIGINT * ((pos % 64) + 1))
-              % 2305843009213693951) % 2305843009213693951)::BIGINT AS fp
-  FROM pairs GROUP BY id
-)
-SELECT d.doc_id AS id, coalesce(f.fp, 0)::BIGINT AS fp
-FROM documents d LEFT JOIN f ON f.id = d.doc_id
 """,
         "events_hourly": """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start_epoch,
@@ -1111,23 +1163,6 @@ WITH {_POS_CTES}
 SELECT doc_id, i - 1 AS start, i + 1 AS "end"
 FROM pos WHERE tok = 'join' AND i + 1 <= len(toks) AND toks[i + 1] != 'scan'
 """,
-        "span_sequence_gap": f"""
-WITH {_POS_CTES},
-a AS (SELECT doc_id, i FROM pos WHERE tok = 'join'),
-b AS (SELECT doc_id, i FROM pos WHERE tok = 'scan')
-SELECT a.doc_id, a.i - 1 AS start, b.i AS "end"
-FROM a JOIN b ON a.doc_id = b.doc_id AND b.i - a.i - 1 BETWEEN 0 AND 2
-""",
-        "span_within": f"""
-WITH {_POS_CTES},
-h AS (SELECT doc_id, i FROM pos WHERE tok = 'hash'),
-bi AS (
-  SELECT doc_id, i - 1 AS s, i + 1 AS e FROM pos
-  WHERE tok = 'table' AND i + 1 <= len(toks) AND toks[i + 1] = 'hash'
-)
-SELECT DISTINCT h.doc_id, h.i - 1 AS start, h.i AS "end"
-FROM h JOIN bi ON h.doc_id = bi.doc_id AND h.i - 1 >= bi.s AND h.i <= bi.e
-""",
         "span_containing": f"""
 WITH {_POS_CTES},
 j AS (SELECT doc_id, i, len(toks) AS n FROM pos WHERE tok = 'join'),
@@ -1139,16 +1174,6 @@ FROM p JOIN s ON p.doc_id = s.doc_id AND s.i - 1 >= p.st AND s.i <= p.en
         "span_not_counts": f"""
 WITH {_POS_CTES}
 SELECT doc_id, count(*) AS n_not FROM pos WHERE tok != 'join' GROUP BY doc_id
-""",
-        "span_repetition": f"""
-WITH {_POS_CTES}
-SELECT doc_id, i - 1 AS start, i + 1 AS "end" FROM pos
-WHERE tok = 'vector' AND i + 1 <= len(toks) AND toks[i + 1] = 'vector'
-""",
-        "span_expand": f"""
-WITH {_POS_CTES}
-SELECT doc_id, greatest(i - 2, 0) AS start, least(i + 1, len(toks)) AS "end"
-FROM pos WHERE tok = 'join'
 """,
         "span_filtered_meta": f"""
 WITH {_POS_CTES}
@@ -1222,11 +1247,6 @@ WITH {_POS_CTES}
 SELECT toks[i - 1] AS capture, count(*) AS n_hits
 FROM pos WHERE tok = 'join' AND i >= 2
 GROUP BY 1
-""",
-        "annot_lemma": f"""
-WITH {_POS_CTES}
-SELECT doc_id, i - 1 AS start, i AS "end" FROM pos
-WHERE ({_LEMMA_RULE.format(x='tok')}) = 's'
 """,
         "annot_lemma_pos": f"""
 WITH {_POS_CTES}
