@@ -91,11 +91,30 @@ class AnnotatedCorpus:
     def spans_term(self, term: str, annot: str = "word") -> DataFrame:
         return self.layers[annot].spans_term(term)
 
+    def enable_search_cache(self, max_entries: int = 64) -> "AnnotatedCorpus":
+        """Plan-keyed result cache across all layers (see
+        Corpus.enable_search_cache)."""
+        from blacklab_spark.plans.cql import PlanCache
+
+        if getattr(self, "_search_cache", None) is None:
+            self._search_cache = PlanCache(max_entries)
+        return self
+
     def find_cql(self, query: str) -> DataFrame:
         """BCQL over all annotation layers: [lemma="x" & pos="y"], lemma
         constraints (:: A.lemma = B.lemma), etc."""
         from blacklab_spark.plans.cql import CqlCompiler, parse_cql
         from blacklab_spark.plans.rewrite import rewrite
 
-        compiler = CqlCompiler(self.word, layers=self.layers)
-        return compiler.compile(rewrite(parse_cql(query)))
+        def build():
+            compiler = CqlCompiler(self.word, layers=self.layers)
+            return compiler.compile(rewrite(parse_cql(query)))
+
+        cache = getattr(self, "_search_cache", None)
+        if cache is None:
+            return build()
+        version = tuple(
+            (n, c.meta["n_docs"], c.meta.get("n_segments", 1))
+            for n, c in sorted(self.layers.items())
+        )
+        return cache.get_or_build(self.word.paths.root, version, query, build)

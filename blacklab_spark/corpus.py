@@ -794,12 +794,37 @@ class Corpus:
             .limit(k)
         )
 
+    def enable_search_cache(self, max_entries: int = 64) -> "Corpus":
+        """Turn on the plan-keyed result cache (the SearchCache analog,
+        /root/reference/engine/src/main/java/nl/inl/blacklab/searches/
+        SearchCache.java; doc/technical/blacklab-internals.md:154-184).
+
+        Repeated identical queries — the BLS serving workload — get the
+        persisted result back instead of replanning + rescanning. Keys are
+        the NORMALIZED plan (rewrite-fixpoint AST repr), so syntactic
+        variants of one plan share an entry; the key also pins the index
+        version (n_docs, n_segments), so results never leak across appends
+        (a fresh Corpus sees a fresh version). LRU-bounded; evicted entries
+        are unpersisted. Like preload(), cached results are a point-in-time
+        snapshot."""
+        from blacklab_spark.plans.cql import PlanCache
+
+        if getattr(self, "_search_cache", None) is None:
+            self._search_cache = PlanCache(max_entries)
+        return self
+
     def find_cql(self, query: str) -> DataFrame:
         """BCQL subset → span DataFrame (doc_id, start, end [, captures]);
         see blacklab_spark.plans.cql for the supported grammar."""
         from blacklab_spark.plans.cql import find_cql
 
-        return find_cql(self, query)
+        cache = getattr(self, "_search_cache", None)
+        if cache is None:
+            return find_cql(self, query)
+        version = (self.meta["n_docs"], self.meta.get("n_segments", 1))
+        return cache.get_or_build(
+            self.paths.root, version, query, lambda: find_cql(self, query)
+        )
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Parse a query string (mini-BCQL: terms / quoted phrase / /regex/)

@@ -737,6 +737,45 @@ class CqlCompiler:
         return out.drop(*[f"_toks_{a}" for a in used_annots])
 
 
+class PlanCache:
+    """Plan-keyed search-result cache — the SearchCache analog
+    (/root/reference/engine/src/main/java/nl/inl/blacklab/searches/
+    SearchCache.java). Keys are (index root, index version, NORMALIZED plan):
+    the query is parsed and rewritten to fixpoint, so any syntactic variant
+    that rewrites to the same plan shares one persisted DataFrame. LRU with
+    unpersist-on-evict; a version bump (append) makes old entries
+    unreachable and they age out of the LRU."""
+
+    def __init__(self, max_entries: int = 64):
+        from collections import OrderedDict
+
+        self._od = OrderedDict()
+        self.max_entries = max_entries
+        self.hits = 0
+        self.misses = 0
+
+    def _normalize(self, query: str) -> str:
+        from blacklab_spark.plans.rewrite import rewrite
+
+        return repr(rewrite(parse_cql(query)))
+
+    def get_or_build(self, root: str, version, query: str, build) -> DataFrame:
+        key = (root, version, self._normalize(query))
+        if key in self._od:
+            self.hits += 1
+            self._od.move_to_end(key)
+            return self._od[key]
+        self.misses += 1
+        from pyspark import StorageLevel
+
+        df = build().persist(StorageLevel.MEMORY_AND_DISK)
+        self._od[key] = df
+        while len(self._od) > self.max_entries:
+            _, old = self._od.popitem(last=False)
+            old.unpersist()
+        return df
+
+
 def find_cql(corpus, query: str) -> DataFrame:
     """Parse + rewrite + compile a BCQL query over a built corpus: the
     BlackLab find(CorpusQueryLanguageParser.parse(q)) path (/root/reference/

@@ -144,6 +144,29 @@ def test_unbounded_edge_gaps(runs_idx):
     ]
 
 
+def test_search_cache_plan_keyed(cidx):
+    # SearchCache analog: repeated queries return the SAME persisted frame;
+    # syntactic variants that rewrite to one plan share the entry
+    cidx.enable_search_cache()
+    cache = cidx._search_cache
+    r1 = spans(cidx.find_cql('"the" "quick"'))
+    assert (cache.hits, cache.misses) == (0, 1)
+    df2 = cidx.find_cql('"the" "quick"')
+    assert cache.hits == 1 and df2.is_cached
+    assert spans(df2) == r1
+    # ("the")("quick") rewrites to the same SeqNode → cache hit
+    cidx.find_cql('("the") ("quick")')
+    assert (cache.hits, cache.misses) == (2, 1)
+    # different plan → miss
+    cidx.find_cql('"the" [] "fox"')
+    assert cache.misses == 2
+    # LRU eviction unpersists
+    cache.max_entries = 1
+    cidx.find_cql('"may" "the"')
+    assert len(cache._od) == 1
+    del cidx._search_cache
+
+
 def test_cql_unquote_preserves_regex_escapes():
     # Reference semantics (StringUtil.unescapeQuote): only the quote char is
     # unescaped; \. \d \\ etc. pass through intact to the regex engine, so
