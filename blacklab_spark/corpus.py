@@ -369,6 +369,25 @@ class Corpus:
             )
         )
 
+    def positions_of_terms(self, terms: list[str]) -> DataFrame:
+        """(doc_id, positions sorted array<long>): merged per-doc start
+        positions of a CLAUSE — one term, a regex expansion, a synonym set —
+        in the array-domain representation the sequence fast path chains
+        (one row per doc, so sequence joins shuffle docs, not positions)."""
+        tinfo = self.lookup_terms(terms)
+        if tinfo.empty:
+            return self.spark.createDataFrame(
+                [], "doc_id long, positions array<long>"
+            )
+        dec = self._decoded_positions(tinfo).select("doc_id", "positions")
+        if len(tinfo) == 1:
+            return dec
+        return dec.groupBy("doc_id").agg(
+            F.sort_array(
+                F.array_distinct(F.flatten(F.collect_list("positions")))
+            ).alias("positions")
+        )
+
     def spans_seq_terms(
         self, term_a: str, term_b: str, gap_min: int = 0, gap_max: int = 0
     ) -> DataFrame:
@@ -378,28 +397,15 @@ class Corpus:
         every position of both terms into the join (a positions-sized
         shuffle). The same trick score_phrase uses, generalized to a gap
         range; for stop-word sequences this is the difference between
-        shuffling millions of hit rows and thousands of doc rows."""
-        ta = self.term_positions(term_a).select(
-            "doc_id", F.col("positions").alias("pa")
-        )
-        tb = self.term_positions(term_b).select(
-            "doc_id", F.col("positions").alias("pb")
-        )
-        # b.start - a.end ∈ [gap_min, gap_max]  ⇔  b.start - a.start ∈ [g+1..]
-        shifts = F.explode(
-            F.sequence(F.lit(gap_min + 1), F.lit(gap_max + 1))
-        ).alias("sh")
-        j = ta.join(tb, "doc_id").select("doc_id", "pa", "pb", shifts)
-        starts = F.array_intersect(
-            "pa", F.transform("pb", lambda x: x - F.col("sh"))
-        )
-        return (
-            j.select("doc_id", F.col("sh"), F.explode(starts).alias("s"))
-            .select(
-                "doc_id",
-                F.col("s").cast("int").alias("start"),
-                (F.col("s") + F.col("sh") + 1).cast("int").alias("end"),
-            )
+        shuffling millions of hit rows and thousands of doc rows. The CQL
+        compiler generalizes this via positions_of_terms +
+        operators.spans.seq_positions_* to whole chains of arbitrary
+        single-position clauses."""
+        from blacklab_spark.operators import spans as S
+
+        return S.seq_positions_pair(
+            self.positions_of_terms([term_a]), 1,
+            self.positions_of_terms([term_b]), gap_min, gap_max,
         )
 
     # -------------------------------------------------------------- query --

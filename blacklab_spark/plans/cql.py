@@ -379,8 +379,8 @@ class CqlCompiler:
             )
         return self.layers[annot]
 
-    def _eq_spans(self, pattern: str, annot: str = "word") -> DataFrame:
-        """Pattern → spans on one annotation layer, with the reference's
+    def _resolve_clause(self, pattern: str, annot: str) -> tuple[str, list[str]]:
+        """Pattern → (layer name, concrete term list), with the reference's
         match-sensitivity routing (MatchSensitivity.java:14-17):
 
         * a ``(?-i)`` / ``(?c)`` pattern prefix forces the case/diacritics-
@@ -403,14 +403,34 @@ class CqlCompiler:
                 )
         elif not annot.endswith("_s") and _PLAIN_TERM_ANYCASE.match(pattern):
             pattern = pattern.lower()
-        layer = self._layer(annot)
         if _PLAIN_TERM.match(pattern) or (
             annot.endswith("_s") and _PLAIN_TERM_ANYCASE.match(pattern)
         ):
             terms = [pattern]
         else:
-            terms = layer.expand_pattern(pattern, max_terms=self.max_expand)
-        return layer.spans_terms(terms)
+            terms = self._layer(annot).expand_pattern(
+                pattern, max_terms=self.max_expand
+            )
+        return annot, terms
+
+    def _eq_spans(self, pattern: str, annot: str = "word") -> DataFrame:
+        annot, terms = self._resolve_clause(pattern, annot)
+        return self._layer(annot).spans_terms(terms)
+
+    def _pos_clause(self, u: Unit) -> tuple[str, list[str]] | None:
+        """(layer, terms) when the unit is one unlabeled, unnegated,
+        (1,1)-quantified token clause — eligible for the ARRAY-DOMAIN
+        sequence path (per-doc position arrays + array_intersect) whether
+        it is a plain term, a regex expansion, or a sensitivity-routed
+        clause."""
+        if u.label is not None or (u.m, u.n) != (1, 1):
+            return None
+        if not isinstance(u.node, TokenNode):
+            return None
+        e = u.node.expr
+        if not isinstance(e, TokClause) or e.negate:
+            return None
+        return self._resolve_clause(e.pattern, e.annot)
 
     def _any_ngrams(self, m: int, n: int) -> DataFrame:
         """All m..n-token spans per doc, generated from exact doc lengths
@@ -603,23 +623,27 @@ class CqlCompiler:
             out = out.unionByName(f)
         return out.dropDuplicates(cols)
 
-    @staticmethod
-    def _plain_term(u: Unit) -> str | None:
-        """The bare term string when the unit is one unlabeled, unnegated,
-        literal-term token position — eligible for the array-intersect
-        sequence fast path."""
-        if u.label is None and (u.m, u.n) == (1, 1) and isinstance(u.node, TokenNode):
-            e = u.node.expr
-            if isinstance(e, TokClause) and not e.negate and _PLAIN_TERM.match(e.pattern):
-                return (e.annot, e.pattern)
-        return None
-
     def _compile_seq_concrete(self, units: list[Unit]) -> DataFrame:
+        """Left-to-right sequence compile. Runs of single-position clauses
+        (plain terms, regex expansions, sensitivity-routed — _pos_clause)
+        stay in the ARRAY DOMAIN: one (doc_id, positions) row per doc per
+        clause, chained by JVM array_intersect of shifted arrays across
+        FIXED gaps, one shift-explode per VARIABLE finite gap — so a whole
+        stop-word phrase shuffles doc rows, never position rows. Only
+        captures, repetitions, any-token units and unbounded gaps fall back
+        to the row-level _seq_join."""
         acc = None
-        acc_term: tuple | None = None  # acc == (annot, term) spans, unmaterialized
+        acc_pos = None  # (annot, positions_df, width): array-domain prefix
         lead_gap: tuple[int, int] | None = None
         pend_gap: tuple[int, int] | None = None
         any_total = None
+
+        def materialize() -> None:
+            nonlocal acc, acc_pos
+            if acc is None and acc_pos is not None:
+                acc = S.spans_from_positions(acc_pos[1], acc_pos[2])
+            acc_pos = None
+
         for u in units:
             if isinstance(u.node, AnyToken) and u.label is None:
                 # fold into the NEXT join as a gap (CCAnyExpansion analog)
@@ -639,11 +663,9 @@ class CqlCompiler:
             if isinstance(u.node, Lookahead):
                 # zero-width assertion at the current end position
                 # (cql.jj sequencePartNoCapture lookahead, :502)
-                if acc is None:
-                    if acc_term is None:
-                        raise ValueError("lookahead needs a preceding clause")
-                    acc = self._layer(acc_term[0]).spans_term(acc_term[1])
-                    acc_term = None
+                if acc is None and acc_pos is None:
+                    raise ValueError("lookahead needs a preceding clause")
+                materialize()
                 if pend_gap is not None:
                     # a gap before a lookahead CONSUMES tokens first: extend
                     # the span right, then assert at the new end
@@ -664,36 +686,41 @@ class CqlCompiler:
                     .select("x.*")
                 )
                 continue
-            term = self._plain_term(u)
-            if acc is None and acc_term is None:
+            pc = self._pos_clause(u)
+            if acc is None and acc_pos is None:
                 if pend_gap is not None:
                     lead_gap = pend_gap
                     pend_gap = None
-                if term is not None:
-                    acc_term = term
+                if pc is not None:
+                    annot, terms = pc
+                    acc_pos = (
+                        annot, self._layer(annot).positions_of_terms(terms), 1
+                    )
                 else:
                     acc = self._compile_unit(u)
                 continue
             gmin, gmax = pend_gap or (0, 0)
             pend_gap = None
-            if (
-                acc is None and term is not None and term[0] == acc_term[0]
-                and gmax < UNBOUNDED  # shifted-array trick needs finite shifts
-            ):
-                # term–term sequence in ONE layer: per-doc position-ARRAY
-                # join (one row per doc per term) + JVM array_intersect of
-                # shifted arrays — docs-sized shuffle, not positions-sized
-                acc = self._layer(acc_term[0]).spans_seq_terms(
-                    acc_term[1], term[1], gmin, gmax
-                )
-                acc_term = None
-                continue
-            if acc is None:
-                acc = self._layer(acc_term[0]).spans_term(acc_term[1])
-                acc_term = None
+            if acc is None and pc is not None and pc[0] == acc_pos[0]:
+                annot, terms = pc
+                pb = self._layer(annot).positions_of_terms(terms)
+                _, apdf, w = acc_pos
+                if gmin == gmax:
+                    # fixed gap: stay in the array domain, width grows
+                    acc_pos = (
+                        annot,
+                        S.seq_positions_extend(apdf, pb, w + gmin),
+                        w + gmin + 1,
+                    )
+                    continue
+                if gmax < UNBOUNDED:
+                    # variable finite gap: one shift per gap value, spans out
+                    acc = S.seq_positions_pair(apdf, w, pb, gmin, gmax)
+                    acc_pos = None
+                    continue
+            materialize()
             acc = self._seq_join(acc, self._compile_unit(u), gmin, gmax)
-        if acc is None and acc_term is not None:
-            acc = self._layer(acc_term[0]).spans_term(acc_term[1])
+        materialize()
         if acc is None:
             # pure any-token sequence: standalone []{m,n}
             m, n = any_total
