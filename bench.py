@@ -96,6 +96,17 @@ def main():
             fn()
             queries_warm[name] = round(time.time() - t, 4)
 
+        # plan-keyed search cache (SearchCache analog): the same CQL query
+        # repeated — the BLS workload — must come back from the persisted
+        # result, not a replan+rescan
+        c.enable_search_cache()
+        t = time.time()
+        c.find_cql('"the" []{0,2} "of"').count()
+        cache_first = time.time() - t
+        t = time.time()
+        c.find_cql('"the" []{0,2} "of"').count()
+        cache_repeat = time.time() - t
+
         total = round(build_sec + sum(queries.values()), 4)
         out = {
             "metric": "index_build_plus_bm25_topk",
@@ -104,6 +115,11 @@ def main():
             "queries": queries,
             "queries_warm": queries_warm,
             "qps_warm": round(len(queries_warm) / max(sum(queries_warm.values()), 1e-9), 2),
+            "search_cache": {
+                "first_sec": round(cache_first, 4),
+                "repeat_sec": round(cache_repeat, 4),
+                "speedup": round(cache_first / max(cache_repeat, 1e-9), 1),
+            },
             "sf": sf,
             "cpus": cpus,
             "build": {
