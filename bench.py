@@ -76,6 +76,9 @@ def main():
             ("q_phrase", lambda: c.search_phrase(["the", "of"], k=10).collect()),
             ("q_term_k1000", lambda: c.search_or(["w0050"], k=1000).collect()),
             ("q_span_seq", lambda: c.find_cql('"the" []{0,2} "of"').count()),
+            # 3-clause stop-word chain: stays in the array domain end to end
+            # (r3 generalized sequence path — chained array_intersect)
+            ("q_seq3", lambda: c.find_cql('"the" "of" "and"').count()),
             ("q_colloc", lambda: collocations_hits(
                 c.spans_term("w0100").selectExpr("doc_id", "start as pos"),
                 c.docs, 2,

@@ -74,7 +74,7 @@ class Corpus:
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.postings)
 
-    def preload(self) -> "Corpus":
+    def preload(self, pin_docs: bool = True) -> "Corpus":
         """Serving mode — the analog of BlackLab holding an open IndexReader:
 
         * term dictionary cached driver-side (lookup_terms / expand_pattern);
@@ -105,10 +105,16 @@ class Corpus:
                 + F.length("positions")
             )
         ).collect()
-        self._docs_df = self.spark.read.parquet(self.paths.docs).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
-        self._docs_df.count()
+        if pin_docs:
+            # pays off for KWIC/collocation/constraint consumers (JVM joins
+            # over the forward index); span-heavy serving at large corpora
+            # can skip it (pin_docs=False) — under memory pressure the
+            # persisted docs table competes with the postings page cache
+            # (measured at 1.2M turns, BENCH/BASELINE.md r3 caveat)
+            self._docs_df = self.spark.read.parquet(self.paths.docs).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            self._docs_df.count()
         self._preloaded = True
         return self
 

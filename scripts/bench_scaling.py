@@ -69,8 +69,9 @@ def main():
     query_eff = query_speedup / factor
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    out_name = os.environ.get("BENCH_SCALING_OUT", "SCALING.md")
     lines = [
-        "# BENCH/BASELINE.md — two-parallelism scaling evidence",
+        f"# BENCH/{out_name} — two-parallelism scaling evidence",
         "",
         f"Same job (index build of {turns} transcript turns + BM25 query set)",
         f"run at local[{n_small}] and local[{n_big}] (N vs {factor:.0f}N cores; the sandbox",
@@ -99,7 +100,7 @@ def main():
         "Efficiency = (throughput_big / throughput_small) / (cores_big / cores_small).",
         "Target (BASELINE.json): >= 0.8 on the build path.",
     ]
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    with open(os.path.join(REPO, "BENCH", out_name), "w") as f:
         f.write("\n".join(lines) + "\n")
     print(json.dumps({
         "build_eff": round(build_eff, 3), "query_eff": round(query_eff, 3),
