@@ -78,15 +78,65 @@ def add_to_annotated_index(
     return root
 
 
+def build_relations(
+    spark: SparkSession,
+    frame: DataFrame,
+    root: str,
+    head_col: str = "head",
+    deprel_col: str = "deprel",
+    doc_key: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> str:
+    """Extract dependency relations (CoNLL-U HEAD/DEPREL arrays) into a
+    relations table under the annotated root, docIDs aligned with the layer
+    indexes via the word layer's doc_map — the Spark-first analog of the
+    reference indexing relations into the Lucene field
+    (SpanQueryRelations.java; integrated.md relations storage)."""
+    from blacklab_spark.operators.relations import relations_from_heads
+
+    word = Corpus(spark, os.path.join(root, "word"))
+    dm = word.doc_map()
+    f = frame.select(*doc_key, head_col, deprel_col).join(dm, list(doc_key))
+    rels = relations_from_heads(f, head_col, deprel_col)
+    rels.write.mode("overwrite").parquet(os.path.join(root, "relations"))
+    return root
+
+
 class AnnotatedCorpus:
     """Query-side view over the per-annotation layer indexes."""
 
     def __init__(self, spark: SparkSession, root: str):
         with open(os.path.join(root, _LAYERS_FILE)) as f:
             names = json.load(f)
+        self.root = root
         self.layers = {n: Corpus(spark, os.path.join(root, n)) for n in names}
         self.word = self.layers["word"]
         self.spark = spark
+
+    @property
+    def relations(self) -> DataFrame | None:
+        p = os.path.join(self.root, "relations")
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    def rel_find(
+        self,
+        rel_type: str = ".*",
+        direction: str = "both",
+        span_mode: str = "full",
+        source: DataFrame | None = None,
+        target: DataFrame | None = None,
+    ) -> DataFrame:
+        """Relation search (SpanQueryRelations analog): spans of relations
+        whose type matches the anchored regex, with c_source_*/c_target_*
+        capture columns; source/target restrict the respective side to a
+        span frame (e.g. a find_cql result)."""
+        from blacklab_spark.operators.relations import relations_matching
+
+        rels = self.relations
+        if rels is None:
+            raise ValueError("no relations table: run build_relations first")
+        return relations_matching(
+            rels, source, target, rel_type, direction, span_mode
+        )
 
     def spans_term(self, term: str, annot: str = "word") -> DataFrame:
         return self.layers[annot].spans_term(term)
@@ -107,7 +157,9 @@ class AnnotatedCorpus:
         from blacklab_spark.plans.rewrite import rewrite
 
         def build():
-            compiler = CqlCompiler(self.word, layers=self.layers)
+            compiler = CqlCompiler(
+                self.word, layers=self.layers, relations=self.relations
+            )
             return compiler.compile(rewrite(parse_cql(query)))
 
         cache = getattr(self, "_search_cache", None)

@@ -1,0 +1,168 @@
+"""Relations / dependency queries — the BlackLab 5 headline feature.
+
+Reference: SpanQueryRelations (/root/reference/engine/src/main/java/nl/inl/
+blacklab/search/lucene/SpanQueryRelations.java — Direction enum :36-48,
+span modes RelationInfo.SpanMode :83-96) and the `-reltype->` grammar
+(query-parser/src/main/javacc/.../cql.jj:288-352). The reference indexes
+relations as payload-augmented terms inside the Lucene field; Spark-first,
+relations are a TABLE:
+
+    (doc_id, rel_type, src_start, src_end, tgt_start, tgt_end)
+
+one row per relation, src_start = -1 for root relations (no source). The
+table is columnar, so rel_type filters push down to the parquet scan and
+source/target matching is an ordinary (doc_id, position)-keyed join —
+set-at-a-time instead of the reference's per-segment payload walk.
+
+Output spans carry c_source_s/e and c_target_s/e capture columns, so the
+rest of the span algebra (within/containing, grouping, constraints) composes
+unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REL_COLS = ["doc_id", "rel_type", "src_start", "src_end", "tgt_start", "tgt_end"]
+
+
+def relations_from_heads(
+    frame: DataFrame,
+    head_col: str = "head",
+    deprel_col: str = "deprel",
+) -> DataFrame:
+    """Dependency arcs from token-aligned head/deprel arrays (CoNLL-U HEAD /
+    DEPREL, read_conllu_annotated): token i (0-based) with 1-based head h
+    yields a relation  source=(h-1, h) → target=(i, i+1); h == 0 is the
+    root relation (no source, src = -1). h < 0 (annotation absent) yields
+    nothing. Pure JVM: posexplode over zipped arrays."""
+    z = frame.select(
+        "doc_id",
+        F.posexplode(F.arrays_zip(F.col(head_col), F.col(deprel_col))).alias(
+            "i", "hd"
+        ),
+    ).select(
+        "doc_id",
+        F.col("i").cast("int").alias("i"),
+        F.col(f"hd.{head_col}").cast("int").alias("h"),
+        F.lower(F.col(f"hd.{deprel_col}")).alias("rel_type"),
+    ).filter(F.col("h") >= 0)
+    return z.select(
+        "doc_id",
+        "rel_type",
+        F.when(F.col("h") == 0, F.lit(-1)).otherwise(F.col("h") - 1)
+        .cast("int").alias("src_start"),
+        F.when(F.col("h") == 0, F.lit(-1)).otherwise(F.col("h"))
+        .cast("int").alias("src_end"),
+        F.col("i").alias("tgt_start"),
+        (F.col("i") + 1).cast("int").alias("tgt_end"),
+    )
+
+
+def rel_spans(
+    rels: DataFrame,
+    rel_type: str = ".*",
+    direction: str = "both",
+    span_mode: str = "full",
+) -> DataFrame:
+    """SpanQueryRelations: relations whose type matches the ANCHORED regex,
+    restricted by direction, returned as spans per span_mode with
+    c_source_s/e and c_target_s/e capture columns.
+
+    direction: 'root' (no source), 'forward' (target after source),
+    'backward' (target before source), 'both'.
+    span_mode: 'source' | 'target' | 'full' (envelope; for root = target)."""
+    out = rels.filter(F.col("rel_type").rlike(f"^(?:{rel_type})$"))
+    if direction == "root":
+        out = out.filter(F.col("src_start") == -1)
+    elif direction == "forward":
+        out = out.filter(
+            (F.col("src_start") != -1)
+            & (F.col("tgt_start") > F.col("src_start"))
+        )
+    elif direction == "backward":
+        out = out.filter(
+            (F.col("src_start") != -1)
+            & (F.col("tgt_start") < F.col("src_start"))
+        )
+    elif direction != "both":
+        raise ValueError(f"unknown direction {direction!r}")
+    if span_mode == "source":
+        if direction == "root":
+            raise ValueError("root relations have no source span")
+        out = out.filter(F.col("src_start") != -1)
+        s, e = F.col("src_start"), F.col("src_end")
+    elif span_mode == "target":
+        s, e = F.col("tgt_start"), F.col("tgt_end")
+    elif span_mode == "full":
+        # envelope of source+target; root (src == -1) = the target span
+        s = F.when(F.col("src_start") == -1, F.col("tgt_start")).otherwise(
+            F.least("src_start", "tgt_start")
+        )
+        e = F.when(F.col("src_start") == -1, F.col("tgt_end")).otherwise(
+            F.greatest("src_end", "tgt_end")
+        )
+    else:
+        raise ValueError(f"unknown span_mode {span_mode!r}")
+    return out.select(
+        "doc_id",
+        s.cast("int").alias("start"),
+        e.cast("int").alias("end"),
+        F.col("src_start").alias("c_source_s"),
+        F.col("src_end").alias("c_source_e"),
+        F.col("tgt_start").alias("c_target_s"),
+        F.col("tgt_end").alias("c_target_e"),
+    )
+
+
+def relations_matching(
+    rels: DataFrame,
+    source_spans: DataFrame | None = None,
+    target_spans: DataFrame | None = None,
+    rel_type: str = ".*",
+    direction: str = "both",
+    span_mode: str = "full",
+) -> DataFrame:
+    """`A -reltype-> B`: relations whose source span matches A and target
+    span matches B (either side None = match anything, the `_` wildcard).
+    Matching is span EQUALITY on (doc_id, start, end) — semi-joins keyed on
+    doc+positions, so each filter is one hash join, never a cross product."""
+    out = rels.filter(F.col("rel_type").rlike(f"^(?:{rel_type})$"))
+    if direction == "root":
+        out = out.filter(F.col("src_start") == -1)
+    if source_spans is not None:
+        src = source_spans.select(
+            "doc_id",
+            F.col("start").alias("src_start"),
+            F.col("end").alias("src_end"),
+        )
+        out = out.join(src, ["doc_id", "src_start", "src_end"], "left_semi")
+    if target_spans is not None:
+        tgt = target_spans.select(
+            "doc_id",
+            F.col("start").alias("tgt_start"),
+            F.col("end").alias("tgt_end"),
+        )
+        out = out.join(tgt, ["doc_id", "tgt_start", "tgt_end"], "left_semi")
+    return rel_spans(out, ".*", direction if direction != "root" else "both",
+                     span_mode)
+
+
+def rspan_all(spans_with_rel_caps: DataFrame) -> DataFrame:
+    """rspan(..., 'all'): expand each span to also cover the source and
+    target of its matched relation (RelationInfo.SpanMode.ALL_SPANS)."""
+    df = spans_with_rel_caps
+    s = F.least(
+        "start",
+        F.when(F.col("c_source_s") == -1, F.col("start")).otherwise(
+            F.col("c_source_s")
+        ),
+        "c_target_s",
+    )
+    e = F.greatest("end", "c_source_e", "c_target_e")
+    keep = [c for c in df.columns if c not in ("start", "end")]
+    return df.select(
+        s.cast("int").alias("start"), e.cast("int").alias("end"), *keep
+    ).select("doc_id", "start", "end",
+             *[c for c in keep if c != "doc_id"])

@@ -117,6 +117,14 @@ class PosFilterNode:      # within / containing (+invert)
 
 
 @dataclass(frozen=True)
+class RelNode:             # A -reltype-> B  /  ^--> B (root relation)
+    src: object | None     # None = wildcard side (`[]`)
+    rel_type: str          # anchored regex over relation types ('' = any)
+    tgt: object | None
+    root: bool = False
+
+
+@dataclass(frozen=True)
 class Constraint:         # lhs/rhs: ("cap", label) or ("lit", value)
     lhs: tuple
     rhs: tuple
@@ -136,6 +144,7 @@ _TOKEN_RE = re.compile(
       (?P<within>!?within\b) | (?P<containing>!?containing\b)
     | (?P<cons>::)
     | (?P<la>\(\?=) | (?P<lan>\(\?!)
+    | (?P<rel>\^?-[A-Za-z0-9_.|*?+]*->)
     | (?P<lbrack>\[) | (?P<rbrack>\]) | (?P<lpar>\() | (?P<rpar>\))
     | (?P<quant>\{\s*\d+\s*(?:,\s*\d*)?\s*\})
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
@@ -213,11 +222,38 @@ class _Parser:
         annot = self.eat("ident")
         return ("cap", label, annot)
 
-    # filtered := boolean (('within'|'containing') boolean)*
+    # filtered := relquery (('within'|'containing') relquery)*
+    # relquery := boolean (REL boolean)? | '^-..->' boolean   (cql.jj :288-352)
     # boolean  := seq (('|' | '&') seq)*        (binds tighter than within,
     #             like cql.jj: containingWithinQuery > booleanQuery > sequence)
-    def filtered(self):
+    @staticmethod
+    def _wild(node):
+        """`[]` used as a relation side means 'any span' → None (no filter)."""
+        if (
+            isinstance(node, SeqNode) and len(node.units) == 1
+            and isinstance(node.units[0].node, AnyToken)
+            and node.units[0].label is None
+            and (node.units[0].m, node.units[0].n) == (1, 1)
+        ):
+            return None
+        return node
+
+    def relquery(self):
+        if self.peek("rel") and self.peek("rel")[1].startswith("^"):
+            op = self.eat("rel")
+            rtype = op[2:-2]  # strip ^- and ->
+            return RelNode(None, rtype, self._wild(self.boolean()), root=True)
         q = self.boolean()
+        if self.peek("rel"):
+            op = self.eat("rel")
+            rtype = op[1:-2]  # strip - and ->
+            return RelNode(
+                self._wild(q), rtype, self._wild(self.boolean()), root=False
+            )
+        return q
+
+    def filtered(self):
+        q = self.relquery()
         while self.peek("within") or self.peek("containing"):
             if self.peek("within"):
                 v = self.eat("within")
@@ -301,7 +337,7 @@ class _Parser:
             return TokenNode(expr)
         if self.peek("lpar"):
             self.eat("lpar")
-            s = self.boolean()  # (A | B) / (A & B) / (A B C)
+            s = self.relquery()  # (A | B) / (A & B) / (A B C) / (A -rel-> B)
             self.eat("rpar")
             return s
         if self.peek("str"):
@@ -366,10 +402,12 @@ class CqlCompiler:
     with engine doc ids; captures are extra int columns.
     """
 
-    def __init__(self, corpus, max_expand: int = 1024, layers: dict | None = None):
+    def __init__(self, corpus, max_expand: int = 1024, layers: dict | None = None,
+                 relations: DataFrame | None = None):
         self.c = corpus
         self.max_expand = max_expand
         self.layers = layers or {"word": corpus}
+        self.relations = relations  # (doc_id, rel_type, src_*, tgt_*) table
 
     # ---- leaves ----
     def _layer(self, annot: str):
@@ -480,6 +518,21 @@ class CqlCompiler:
             return fn(prod, filt, invert=node.invert)
         if isinstance(node, ConstrainedNode):
             return self._apply_constraints(self.compile(node.q), node.conditions)
+        if isinstance(node, RelNode):
+            if self.relations is None:
+                raise ValueError(
+                    "relation query on a corpus without an indexed relations "
+                    "table (build_relations)"
+                )
+            from blacklab_spark.operators.relations import relations_matching
+
+            return relations_matching(
+                self.relations,
+                None if node.src is None else self.compile(node.src).select(*SPAN_COLS),
+                None if node.tgt is None else self.compile(node.tgt).select(*SPAN_COLS),
+                rel_type=node.rel_type or ".*",
+                direction="root" if node.root else "both",
+            )
         if isinstance(node, Lookahead):
             raise ValueError("a lookahead needs a preceding clause in a sequence")
         raise TypeError(node)

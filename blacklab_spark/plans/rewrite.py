@@ -29,6 +29,7 @@ from blacklab_spark.plans.cql import (
     ConstrainedNode,
     Lookahead,
     PosFilterNode,
+    RelNode,
     SeqNode,
     Unit,
 )
@@ -106,6 +107,12 @@ def rewrite(node):
             if q is node.q:
                 return node
             node = ConstrainedNode(q, node.conditions)
+        elif isinstance(node, RelNode):
+            s = None if node.src is None else rewrite(node.src)
+            t = None if node.tgt is None else rewrite(node.tgt)
+            if s is node.src and t is node.tgt:
+                return node
+            node = RelNode(s, node.rel_type, t, node.root)
         elif isinstance(node, tuple) and node and node[0] in ("alt", "and"):
             alts = tuple(rewrite(a) for a in node[1])
             if all(a is b for a, b in zip(alts, node[1])):

@@ -186,25 +186,28 @@ def read_conllu(spark: SparkSession, path: str) -> DataFrame:
 
 _ANNOT_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
-    "ts timestamp, word array<string>, lemma array<string>, pos array<string>"
+    "ts timestamp, word array<string>, lemma array<string>, pos array<string>, "
+    "head array<int>, deprel array<string>"
 )
 
 
 def read_conllu_annotated(spark: SparkSession, path: str) -> DataFrame:
     """CoNLL-U with token-aligned annotation layers: per sentence, parallel
     word (FORM, lowercased like the engine tokenizer), lemma (LEMMA) and pos
-    (UPOS) arrays — feed to build_annotated_index. The three arrays are
-    aligned by construction (same rows of the same sentence)."""
+    (UPOS) arrays — feed to build_annotated_index — plus dependency columns
+    head (1-based HEAD, 0 = root; -1 when absent) and deprel (DEPREL,
+    lowercased; '' when absent) for build_relations. All arrays are aligned
+    by construction (same rows of the same sentence)."""
     files = _whole_files(spark, path)
 
-    def parse_one(content: str) -> list[tuple[list, list, list]]:
-        sents, w, l, p = [], [], [], []
+    def parse_one(content: str) -> list[tuple[list, list, list, list, list]]:
+        sents, w, l, p, h, d = [], [], [], [], [], []
         for line in content.splitlines():
             line = line.rstrip()
             if not line:
                 if w:
-                    sents.append((w, l, p))
-                    w, l, p = [], [], []
+                    sents.append((w, l, p, h, d))
+                    w, l, p, h, d = [], [], [], [], []
                 continue
             if line.startswith("#"):
                 continue
@@ -213,8 +216,14 @@ def read_conllu_annotated(spark: SparkSession, path: str) -> DataFrame:
                 w.append(cols[1].lower())
                 l.append(cols[2].lower())
                 p.append(cols[3].lower())
+                if len(cols) >= 8 and cols[6].isdigit():
+                    h.append(int(cols[6]))
+                    d.append(cols[7].lower())
+                else:
+                    h.append(-1)
+                    d.append("")
         if w:
-            sents.append((w, l, p))
+            sents.append((w, l, p, h, d))
         return sents
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -234,6 +243,8 @@ def read_conllu_annotated(spark: SparkSession, path: str) -> DataFrame:
                         "word": [s[0] for s in sents],
                         "lemma": [s[1] for s in sents],
                         "pos": [s[2] for s in sents],
+                        "head": [s[3] for s in sents],
+                        "deprel": [s[4] for s in sents],
                     }))
             if out:
                 yield pd.concat(out, ignore_index=True)

@@ -1,0 +1,118 @@
+"""Dependency relations — the reference's SpanQueryRelations / `-reltype->`
+grammar (engine/.../lucene/SpanQueryRelations.java; cql.jj:288-352), here a
+columnar relations table + (doc_id, position)-keyed joins.
+
+Fixture (UD-ish): heads are 1-based, 0 = root.
+  doc 0: the0 dogs1 bark2     det(dogs→the) nsubj(bark→dogs) root(bark)
+  doc 1: a0 dog1 barked2 loudly3   det nsubj root advmod(barked→loudly)
+"""
+
+import pytest
+
+from blacklab_spark.annotated import (
+    AnnotatedCorpus,
+    build_annotated_index,
+    build_relations,
+)
+from blacklab_spark.sources.readers import read_conllu_annotated
+
+CONLLU = """1\tThe\tthe\tDET\t_\t_\t2\tdet\t_\t_
+2\tdogs\tdog\tNOUN\t_\t_\t3\tnsubj\t_\t_
+3\tbark\tbark\tVERB\t_\t_\t0\troot\t_\t_
+
+1\tA\ta\tDET\t_\t_\t2\tdet\t_\t_
+2\tdog\tdog\tNOUN\t_\t_\t3\tnsubj\t_\t_
+3\tbarked\tbark\tVERB\t_\t_\t0\troot\t_\t_
+4\tloudly\tloudly\tADV\t_\t_\t3\tadvmod\t_\t_
+"""
+
+
+@pytest.fixture(scope="module")
+def rcorp(spark, tmp_root, tmp_path_factory):
+    d = tmp_path_factory.mktemp("conllu_rel")
+    (d / "r.conllu").write_text(CONLLU)
+    frame = read_conllu_annotated(spark, str(d / "r.conllu"))
+    root = f"{tmp_root}/rel_idx"
+    build_annotated_index(
+        spark, frame, root,
+        {"word": "word", "lemma": "lemma", "pos": "pos"}, block_size=4,
+    )
+    build_relations(spark, frame, root)
+    return AnnotatedCorpus(spark, root)
+
+
+def spans(df):
+    return sorted((r["doc_id"], r["start"], r["end"]) for r in df.collect())
+
+
+def test_relations_table(rcorp):
+    rels = {
+        (r["doc_id"], r["rel_type"], r["src_start"], r["tgt_start"])
+        for r in rcorp.relations.collect()
+    }
+    assert (0, "det", 1, 0) in rels
+    assert (0, "nsubj", 2, 1) in rels
+    assert (0, "root", -1, 2) in rels
+    assert (1, "advmod", 2, 3) in rels
+    assert len(rels) == 7
+
+
+def test_rel_find_type_and_modes(rcorp):
+    assert spans(rcorp.rel_find("det")) == [(0, 0, 2), (1, 0, 2)]
+    assert spans(rcorp.rel_find("det", span_mode="target")) == [
+        (0, 0, 1), (1, 0, 1)
+    ]
+    assert spans(rcorp.rel_find("det", span_mode="source")) == [
+        (0, 1, 2), (1, 1, 2)
+    ]
+    # regex over types
+    assert spans(rcorp.rel_find("det|advmod")) == [
+        (0, 0, 2), (1, 0, 2), (1, 2, 4)
+    ]
+
+
+def test_rel_directions(rcorp):
+    # forward: target after source → only advmod
+    assert spans(rcorp.rel_find(".*", direction="forward")) == [(1, 2, 4)]
+    # root: relations without a source (span = target)
+    assert spans(rcorp.rel_find(".*", direction="root")) == [
+        (0, 2, 3), (1, 2, 3)
+    ]
+    # backward: det + nsubj in both docs
+    assert len(spans(rcorp.rel_find(".*", direction="backward"))) == 4
+
+
+def test_rel_capture_columns(rcorp):
+    r = rcorp.rel_find("nsubj").orderBy("doc_id").first()
+    assert (r["c_source_s"], r["c_source_e"]) == (2, 3)
+    assert (r["c_target_s"], r["c_target_e"]) == (1, 2)
+
+
+def test_rel_cql_grammar(rcorp):
+    # A -rel-> B: A matches the SOURCE span, B the TARGET span
+    assert spans(rcorp.find_cql('[pos="verb"] -nsubj-> [pos="noun"]')) == [
+        (0, 1, 3), (1, 1, 3)
+    ]
+    # wildcard sides via []
+    assert spans(rcorp.find_cql('[] -det-> "the"')) == [(0, 0, 2)]
+    assert spans(rcorp.find_cql('[] --> []')) == spans(rcorp.rel_find(".*"))
+    # root relation query
+    assert spans(rcorp.find_cql('^--> []')) == [(0, 2, 3), (1, 2, 3)]
+    # composes with the rest of the algebra (within)
+    got = spans(rcorp.find_cql('([] -det-> []) within ("a" "dog")'))
+    assert got == [(1, 0, 2)]
+
+
+def test_rel_query_without_relations_table_raises(spark, tmp_root):
+    import pandas as pd
+
+    from blacklab_spark.build import build_index
+    from blacklab_spark.corpus import Corpus
+
+    path = f"{tmp_root}/norel_idx"
+    pdf = pd.DataFrame({
+        "conv_id": ["c"], "turn_idx": [0], "text": ["a b c"],
+    })
+    build_index(spark, spark.createDataFrame(pdf), path, block_size=4)
+    with pytest.raises(ValueError, match="relations"):
+        Corpus(spark, path).find_cql('[] --> []')
