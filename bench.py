@@ -85,6 +85,14 @@ def main():
             ).collect()),
             ("q_group_meta", lambda: c.docs.groupBy("role").count().collect()),
         ]
+        # BENCH_QUERY_FILTER=q_a,q_b restricts the set — used by the scaling
+        # evidence to measure compute-bound queries (the full set at small sf
+        # is dominated by fixed per-job scheduling latency, which no core
+        # count can speed up)
+        qfilter = os.environ.get("BENCH_QUERY_FILTER")
+        if qfilter:
+            keep = set(qfilter.split(","))
+            qset = [(n, f) for n, f in qset if n in keep]
         for name, fn in qset:
             t = time.time()
             fn()
@@ -98,6 +106,28 @@ def main():
             t = time.time()
             fn()
             queries_warm[name] = round(time.time() - t, 4)
+
+        # BENCH_CONCURRENT=K: run the query set K times over a thread pool —
+        # the BLS serving workload. Per-query parallelism at sandbox corpus
+        # sizes is bounded by how few parquet splits the pruned term blocks
+        # span (a GOOD property: pruning reads almost nothing), so extra
+        # cores show up as concurrent-query THROUGHPUT, not single-query
+        # latency; this is the scaling-evidence metric.
+        conc = {}
+        n_conc = int(os.environ.get("BENCH_CONCURRENT", "0"))
+        if n_conc:
+            import concurrent.futures as cf
+
+            jobs = [fn for _, fn in qset] * n_conc
+            t0 = time.time()
+            with cf.ThreadPoolExecutor(max_workers=min(len(jobs), 16)) as ex:
+                list(ex.map(lambda f: f(), jobs))
+            wall = time.time() - t0
+            conc = {
+                "n_queries": len(jobs),
+                "wall_sec": round(wall, 3),
+                "qps": round(len(jobs) / wall, 3),
+            }
 
         # plan-keyed search cache (SearchCache analog): the same CQL query
         # repeated — the BLS workload — must come back from the persisted
@@ -123,6 +153,7 @@ def main():
                 "repeat_sec": round(cache_repeat, 4),
                 "speedup": round(cache_first / max(cache_repeat, 1e-9), 1),
             },
+            **({"concurrent": conc} if conc else {}),
             "sf": sf,
             "cpus": cpus,
             "build": {

@@ -47,6 +47,10 @@ def run_interleaved(cpu_levels: list[int], turns: int) -> dict[int, dict]:
             k: min(r["queries"][k] for r in runs) for k in best["queries"]
         }
         best["all_build_tps"] = [r["build"]["turns_per_sec"] for r in runs]
+        if all("concurrent" in r for r in runs):
+            best["concurrent"] = max(
+                (r["concurrent"] for r in runs), key=lambda x: x["qps"]
+            )
         out[c] = best
     return out
 
@@ -67,6 +71,14 @@ def main():
     q_b = sum(big["queries"].values())
     query_speedup = q_s / q_b if q_b else float("nan")
     query_eff = query_speedup / factor
+    conc_eff = conc_speedup = None
+    if "concurrent" in small and "concurrent" in big:
+        # throughput metric: per-run best qps (bench best-of already applied
+        # to queries; take max qps across runs per level)
+        qps_s = small["concurrent"]["qps"]
+        qps_b = big["concurrent"]["qps"]
+        conc_speedup = qps_b / qps_s
+        conc_eff = conc_speedup / factor
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     out_name = os.environ.get("BENCH_SCALING_OUT", "SCALING.md")
@@ -81,6 +93,12 @@ def main():
         "|---|---|---|---|---|",
         f"| build throughput (turns/sec) | {b_s:,.0f} | {b_b:,.0f} | {b_b / b_s:.2f}x | **{build_eff:.2f}** |",
         f"| query set wall (sec, {len(small['queries'])} queries) | {q_s:.2f} | {q_b:.2f} | {query_speedup:.2f}x | **{query_eff:.2f}** |",
+        *(
+            [f"| concurrent query throughput (qps, {small['concurrent']['n_queries']} queries) | "
+             f"{small['concurrent']['qps']:.2f} | {big['concurrent']['qps']:.2f} | "
+             f"{conc_speedup:.2f}x | **{conc_eff:.2f}** |"]
+            if conc_eff is not None else []
+        ),
         "",
         "Per-query seconds:",
         "",
@@ -105,6 +123,9 @@ def main():
     print(json.dumps({
         "build_eff": round(build_eff, 3), "query_eff": round(query_eff, 3),
         "build_tps": [b_s, b_b], "query_wall": [q_s, q_b],
+        **({"conc_eff": round(conc_eff, 3),
+            "conc_qps": [small["concurrent"]["qps"], big["concurrent"]["qps"]]}
+           if conc_eff is not None else {}),
     }))
 
 
