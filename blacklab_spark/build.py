@@ -235,9 +235,11 @@ def build_index(
 
     Pre-tokenized input: if the frame already has a `tokens` array<string>
     column it is indexed AS IS (no tokenizer pass) — the path annotation
-    layers (lemma/pos) and token-aligned formats (CoNLL-U) use. Note
-    compact_index re-tokenizes from `text`, so pre-tokenized indexes should
-    be compacted by rebuilding from their original token frames instead.
+    layers (lemma/pos) and token-aligned formats (CoNLL-U) use. An
+    array<array<string>> tokens column indexes every inner value at the
+    outer position (multi-value / synonym positions). compact_index
+    rebuilds from the STORED tokens, so compaction is exact for every
+    index type.
     """
     paths = IndexPaths(path)
     if not resume and os.path.exists(path):

@@ -269,7 +269,17 @@ def compact_index(spark: SparkSession, path: str) -> IndexPaths:
     with open(paths.meta) as f:
         meta = json.load(f)
     docs = spark.read.parquet(paths.docs)
-    transcripts = docs.drop("doc_id", "tokens", "dl")
+    # Rebuild from the STORED tokens (the forward index), never by
+    # re-tokenizing text: pre-tokenized layers (lemma/pos, CoNLL-U) have no
+    # meaningful text, and multi-value indexes keep their full value lists
+    # only in tokens_mv. This makes compaction exact for every index type.
+    if "tokens_mv" in docs.columns:
+        transcripts = (
+            docs.drop("doc_id", "dl", "tokens")
+            .withColumnRenamed("tokens_mv", "tokens")
+        )
+    else:
+        transcripts = docs.drop("doc_id", "dl")
     rebuilt = os.path.join(path, "_compacted")
     build_index(
         spark, transcripts, rebuilt,

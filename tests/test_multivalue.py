@@ -66,6 +66,39 @@ def test_forward_index_keeps_main_value(mvidx):
     assert toks[1] == ["the", "end"]
 
 
+def test_compact_preserves_multivalue(spark, tmp_root):
+    # compaction rebuilds from the STORED tokens_mv, not by re-tokenizing
+    # text (which would drop every synonym value)
+    import pandas as pd
+
+    from blacklab_spark.incremental import compact_index
+
+    path = f"{tmp_root}/mv_compact_idx"
+    pdf = pd.DataFrame({
+        "conv_id": ["c"] * len(DOCS),
+        "turn_idx": range(len(DOCS)),
+        "tokens": DOCS,
+    })
+    schema = "conv_id string, turn_idx int, tokens array<array<string>>"
+    build_index(spark, spark.createDataFrame(pdf, schema=schema), path,
+                block_size=4)
+    c0 = Corpus(spark, path)
+    before = {
+        t: spans(c0.spans_term(t)) for t in ["the", "doh", "zzz", "finish"]
+    }
+    td_before = sorted(
+        (r["term"], r["df"], r["cf"]) for r in c0.term_dict.collect()
+    )
+    compact_index(spark, path)
+    c1 = Corpus(spark, path)
+    assert not c1.meta["bounds_stale"]
+    for t, sp in before.items():
+        assert spans(c1.spans_term(t)) == sp, t
+    assert sorted(
+        (r["term"], r["df"], r["cf"]) for r in c1.term_dict.collect()
+    ) == td_before
+
+
 def test_term_stats_per_value(mvidx):
     td = {r["term"]: (r["df"], r["cf"]) for r in mvidx.term_dict.collect()}
     assert td["the"] == (2, 2)
