@@ -313,6 +313,23 @@ def build_index(
                     mv = pdf.pop("tokens").map(
                         lambda lists: [list(x) for x in lists]
                     )
+                    # an empty inner list (a position with NO value) would
+                    # crash below with an opaque executor IndexError; fail
+                    # with the offending doc key instead
+                    bad = mv.map(
+                        lambda lists: any(len(x) == 0 for x in lists)
+                    )
+                    if bad.any():
+                        row = pdf[bad.values].iloc[0]
+                        keys = {
+                            k: row[k] for k in pdf.columns
+                            if k in ("conv_id", "turn_idx")
+                        }
+                        raise ValueError(
+                            "multi-value tokens contain an EMPTY value list "
+                            f"(a position with no values) in doc {keys}; "
+                            "every position must carry >= 1 value"
+                        )
                     toks = mv.map(lambda lists: [x[0] for x in lists])
                     extra["tokens_mv"] = mv
                 elif pretokenized:

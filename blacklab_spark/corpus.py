@@ -418,6 +418,12 @@ class Corpus:
     def score_or(self, terms: list[str], k: int | None = None) -> DataFrame:
         """Multi-term OR (BooleanQuery SHOULD): per-doc sum of BM25 in
         ascending-term order. Returns all matching docs: (doc_id, score)."""
+        return self._cached(
+            ("score_or", tuple(sorted(set(terms))), k),
+            lambda: self._score_or(terms, k),
+        )
+
+    def _score_or(self, terms: list[str], k: int | None = None) -> DataFrame:
         tinfo = self.lookup_terms(terms)
         if tinfo.empty:
             return self.spark.createDataFrame([], "doc_id long, score double")
@@ -697,6 +703,12 @@ class Corpus:
         Physical strategy: _range_scores(conjunctive=True) — the rarest term
         drives; a stop-word MUST clause decodes only blocks overlapping the
         rare term's docs (the FiSeq anchor-then-verify insight at doc level)."""
+        return self._cached(
+            ("score_and", tuple(sorted(set(terms))), k),
+            lambda: self._score_and(terms, k),
+        )
+
+    def _score_and(self, terms: list[str], k: int | None = None) -> DataFrame:
         uniq = sorted(set(terms))
         tinfo = self.lookup_terms(uniq)
         if len(tinfo) < len(uniq):  # a missing term empties the conjunction
@@ -715,6 +727,14 @@ class Corpus:
         pair, so a term shared by two clauses contributes once per clause —
         Lucene's per-clause scoring. Runs on the doc-range scorer: the rarest
         clause's docs drive candidate pruning of every other clause's blocks."""
+        return self._cached(
+            ("score_and_groups", tuple(tuple(sorted(set(g))) for g in groups), k),
+            lambda: self._score_and_groups(groups, k),
+        )
+
+    def _score_and_groups(
+        self, groups: list[list[str]], k: int | None = None
+    ) -> DataFrame:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not groups:
             return empty
@@ -749,6 +769,12 @@ class Corpus:
         the smallest posting list drives every subsequent inner join).
         Scoring: Lucene PhraseQuery — idf = sum of member idfs (duplicates
         kept), tf = phrase frequency, same BM25 saturation, exact dl."""
+        return self._cached(
+            ("score_phrase", tuple(terms)),
+            lambda: self._score_phrase(terms),
+        )
+
+    def _score_phrase(self, terms: list[str]) -> DataFrame:
         empty = self.spark.createDataFrame([], "doc_id long, score double")
         if not terms:
             return empty
@@ -825,6 +851,21 @@ class Corpus:
             self._search_cache = PlanCache(max_entries)
         return self
 
+    def _index_version(self) -> tuple:
+        return (self.meta["n_docs"], self.meta.get("n_segments", 1))
+
+    def _cached(self, subkey: tuple, build):
+        """Route a scoring-path plan through the SearchCache when enabled —
+        the reference caches EVERY Search subclass result (SearchCache.java
+        keys on the whole Search tree, not just pattern finds), so the BM25
+        search/score paths are keyed on (kind, terms, k) here."""
+        cache = getattr(self, "_search_cache", None)
+        if cache is None:
+            return build()
+        return cache.get_or_build_key(
+            self.paths.root, self._index_version(), subkey, build
+        )
+
     def find_cql(self, query: str) -> DataFrame:
         """BCQL subset → span DataFrame (doc_id, start, end [, captures]);
         see blacklab_spark.plans.cql for the supported grammar."""
@@ -833,9 +874,9 @@ class Corpus:
         cache = getattr(self, "_search_cache", None)
         if cache is None:
             return find_cql(self, query)
-        version = (self.meta["n_docs"], self.meta.get("n_segments", 1))
         return cache.get_or_build(
-            self.paths.root, version, query, lambda: find_cql(self, query)
+            self.paths.root, self._index_version(), query,
+            lambda: find_cql(self, query),
         )
 
     def search(self, query: str, k: int = 10) -> DataFrame:

@@ -123,6 +123,18 @@ def add_to_index(
     _fail_point: str | None = None,
 ) -> IndexPaths:
     recover_pending(path)
+    # recover_pending leaves a marker owned by a LIVE foreign writer in place.
+    # Proceeding would overwrite that marker with our pid and race the
+    # in-flight append's part-file moves + meta commit — refuse instead.
+    marker_path = os.path.join(path, PENDING_MARKER)
+    if os.path.exists(marker_path):
+        with open(marker_path) as f:
+            owner = json.load(f).get("writer_pid")
+        raise RuntimeError(
+            f"concurrent append in progress on {path} "
+            f"(pending marker held by live writer pid={owner}); "
+            "retry after it completes or dies"
+        )
     paths = IndexPaths(path)
     with open(paths.meta) as f:
         meta = json.load(f)

@@ -19,6 +19,18 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _arr_lit(values: list[float]):
+    """ONE plan node for a constant double array: a single JSON string
+    literal that Catalyst's ConstantFolding collapses to an array literal at
+    optimize time. (F.lit(list)/F.array expand to one Literal PER ELEMENT —
+    at realistic embedding dims (384-1536) × several LSH bands that is tens
+    of thousands of expression nodes and a driver/codegen blowup risk.)"""
+    import json
+
+    return F.from_json(F.lit(json.dumps([float(x) for x in values])),
+                       "array<double>")
+
+
 def _dot(a, b):
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
@@ -42,7 +54,7 @@ def cosine_topk(
     id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:
     """Exact cosine top-k against a literal query vector (broadcast by value)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    q = _arr_lit(query_vec)  # ONE folded array literal, not dim nodes
     qn = float(np.sqrt(np.dot(np.asarray(query_vec, "float64"), np.asarray(query_vec, "float64"))))
     sim = _dot(F.col(vec_col), q) / (_norm(F.col(vec_col)) * F.lit(qn))
     return (
@@ -70,10 +82,13 @@ def _bucket_expr(vec_col: str, planes: list[list[float]]):
     """Packed sign-bucket over literal plane vectors: a per-row zip_with dot
     + left fold, entirely inside codegen — NO shuffle, NO per-row hashing
     (the ±1 components are driver-side literals). Replaces the old
-    posexplode+groupBy formulation, which shuffled every (row, dim) pair."""
+    posexplode+groupBy formulation, which shuffled every (row, dim) pair.
+
+    Each plane is ONE folded array literal (_arr_lit), not dim per-element
+    literals — see _arr_lit for why."""
     bucket = None
     for p, plane in enumerate(planes):
-        arr = F.array(*[F.lit(x) for x in plane])
+        arr = _arr_lit(plane)
         s = F.aggregate(
             F.zip_with(F.col(vec_col), arr, lambda a, b: a.cast("double") * b),
             F.lit(0.0),
@@ -152,12 +167,21 @@ def signlsh_topk(
 def ivf_train_centroids(
     emb: DataFrame, n_centroids: int = 16, sample_n: int = 10000,
     iters: int = 10, seed: int = 1, vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Coarse quantizer for IVF: spherical k-means trained driver-side on a
     bounded deterministic sample (standard IVF practice — at 100 TB the
     training sample is still small; only the ASSIGNMENT pass is distributed).
-    Returns (n_centroids, dim) float64, L2-normalized rows."""
-    frac_rows = emb.select(vec_col).limit(sample_n).collect()
+    Returns (n_centroids, dim) float64, L2-normalized rows.
+
+    The sample is ORDERED before limit: a bare limit(n) takes whatever
+    partitions answer first, so the trained centroids would depend on the
+    physical parquet layout (VERDICT r2/r3 flag). orderBy(id).limit(n) is a
+    TakeOrderedAndProject — bounded per-partition heaps, no global sort."""
+    frac_rows = (
+        emb.select(id_col, vec_col).orderBy(id_col).limit(sample_n)
+        .select(vec_col).collect()
+    )
     X = np.array([r[0] for r in frac_rows], dtype="float64")
     X = X / np.maximum(np.linalg.norm(X, axis=1, keepdims=True), 1e-12)
     rng = np.random.default_rng(seed)
@@ -245,6 +269,7 @@ def cosine_near_pairs(
     bands: int = 1, rows_per_band: int = 8,
     id_col: str = "vec_id", vec_col: str = "embedding",
     max_bucket_size: int | None = None,
+    num_planes: int | None = None,
 ) -> DataFrame:
     """Embedding near-duplicate pairs at scale: banded sign-LSH candidate
     generation, exact cosine on candidates only — never the full cross
@@ -252,7 +277,12 @@ def cosine_near_pairs(
     candidate-sized; recall 1-(1-s^r)^b is tuned by bands × rows_per_band
     (bands=1 = the classic single-signature AND over all planes).
     `max_bucket_size` drops degenerate buckets (the same skew cap as
-    minhash_lsh_pairs) so one hot bucket can't go quadratic."""
+    minhash_lsh_pairs) so one hot bucket can't go quadratic.
+
+    `num_planes` is a compatibility alias for the pre-banding signature
+    (cosine_near_pairs(..., num_planes=8) == bands=1, rows_per_band=8)."""
+    if num_planes is not None:
+        bands, rows_per_band = 1, num_planes
     sig = signlsh_band_signatures(emb, bands, rows_per_band, id_col, vec_col)
     if max_bucket_size is not None:
         ok = (

@@ -386,6 +386,27 @@ def _unquote(s: str) -> str:
     )
 
 
+def _desensitize_pattern(pattern: str) -> str:
+    """Lowercase a pattern destined for a case-insensitive layer, preserving
+    backslash escapes: every character is lowered EXCEPT one immediately
+    following a backslash, so ``\\D``/``\\W``/``\\S`` (negated classes) and
+    ``\\Q``...``\\E`` markers survive. The reference lowercases the whole
+    search string for @i fields (DesensitizedString / MatchSensitivity
+    desensitization); this is the same intent minus the escape corruption."""
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(ch)
+            out.append(pattern[i + 1])
+            i += 2
+        else:
+            out.append(ch.lower())
+            i += 1
+    return "".join(out)
+
+
 def parse_cql(q: str):
     return _Parser(_lex(q)).query()
 
@@ -424,12 +445,13 @@ class CqlCompiler:
         * a ``(?-i)`` / ``(?c)`` pattern prefix forces the case/diacritics-
           SENSITIVE field — here the ``<annot>_s`` layer, which indexes
           case-preserving tokens (tokenizer.tokenize_sensitive);
-        * on an insensitive layer a LITERAL pattern is desensitized
-          (lowercased) first, like the reference desensitizes the search
-          string for @i fields — so [word="Table"] finds "table". Regex
-          patterns are passed through unchanged (documented divergence:
-          the reference lowercases those too, which corrupts classes
-          like \\D; we prefer exactness for regexes)."""
+        * on an insensitive layer the pattern is desensitized (lowercased)
+          first, like the reference desensitizes the search string for @i
+          fields — so [word="Table"] and [word="Fox.*"] match the
+          all-lowercase index. For REGEX patterns only characters outside
+          backslash escapes are lowered, so ``\\D``/``\\W``/``\\S`` keep
+          their (negated-class) meaning — one deliberate refinement over
+          the reference's blanket toLowerCase()."""
         m = _SENS_FLAG.match(pattern)
         if m:
             pattern = pattern[m.end():]
@@ -439,8 +461,8 @@ class CqlCompiler:
                 raise ValueError(
                     f"case-sensitive search needs an indexed {annot!r} layer"
                 )
-        elif not annot.endswith("_s") and _PLAIN_TERM_ANYCASE.match(pattern):
-            pattern = pattern.lower()
+        elif not annot.endswith("_s"):
+            pattern = _desensitize_pattern(pattern)
         if _PLAIN_TERM.match(pattern) or (
             annot.endswith("_s") and _PLAIN_TERM_ANYCASE.match(pattern)
         ):
@@ -824,12 +846,22 @@ class PlanCache:
     the query is parsed and rewritten to fixpoint, so any syntactic variant
     that rewrites to the same plan shares one persisted DataFrame. LRU with
     unpersist-on-evict; a version bump (append) makes old entries
-    unreachable and they age out of the LRU."""
+    unreachable and they age out of the LRU.
+
+    Thread-safe: BLS-style serving (and bench's concurrent pool) issues
+    queries from many threads, so the OrderedDict mutation + eviction
+    unpersist run under one lock. Only the CACHE BOOKKEEPING is locked —
+    the (potentially slow) plan build runs outside it; two threads racing
+    the same cold key may both build, last-in wins (the loser's DataFrame
+    is unpersisted), which is correct and avoids serializing distinct
+    queries behind one long build."""
 
     def __init__(self, max_entries: int = 64):
+        import threading
         from collections import OrderedDict
 
         self._od = OrderedDict()
+        self._lock = threading.RLock()
         self.max_entries = max_entries
         self.hits = 0
         self.misses = 0
@@ -840,18 +872,34 @@ class PlanCache:
         return repr(rewrite(parse_cql(query)))
 
     def get_or_build(self, root: str, version, query: str, build) -> DataFrame:
-        key = (root, version, self._normalize(query))
-        if key in self._od:
-            self.hits += 1
-            self._od.move_to_end(key)
-            return self._od[key]
-        self.misses += 1
+        return self.get_or_build_key(
+            root, version, ("cql", self._normalize(query)), build
+        )
+
+    def get_or_build_key(self, root: str, version, subkey, build) -> DataFrame:
+        """Raw-key variant for non-CQL plans (the BM25 search/score paths key
+        on (kind, terms, k) directly — no AST to normalize)."""
+        key = (root, version, subkey)
+        with self._lock:
+            if key in self._od:
+                self.hits += 1
+                self._od.move_to_end(key)
+                return self._od[key]
+            self.misses += 1
         from pyspark import StorageLevel
 
         df = build().persist(StorageLevel.MEMORY_AND_DISK)
-        self._od[key] = df
-        while len(self._od) > self.max_entries:
-            _, old = self._od.popitem(last=False)
+        evicted = []
+        with self._lock:
+            prev = self._od.pop(key, None)
+            if prev is not None:
+                evicted.append(df)  # lost the build race; serve the winner
+                df = prev
+            self._od[key] = df
+            while len(self._od) > self.max_entries:
+                _, old = self._od.popitem(last=False)
+                evicted.append(old)
+        for old in evicted:
             old.unpersist()
         return df
 
