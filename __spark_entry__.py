@@ -26,7 +26,7 @@ from blacklab_spark.corpus import Corpus
 from blacklab_spark.operators import dedup, grouping, similarity, textstats
 from blacklab_spark.operators import spans as S
 from blacklab_spark.streaming.windows import windowed_event_counts
-from blacklab_spark.tokenizer import TOKEN_PATTERN_SQL
+from blacklab_spark.tokenizer import TOKEN_PATTERN_JAVA, TOKEN_PATTERN_SQL
 
 CACHE_ROOT = os.environ.get("BLACKLAB_CACHE", "/tmp/blacklab_entry_cache")
 
@@ -36,7 +36,7 @@ OR_TERMS = ["join", "window", "scan"]
 PHRASE = ["table", "hash"]
 K = 10
 
-_SQL_TOK = TOKEN_PATTERN_SQL  # [a-z0-9]+(?:''[a-z0-9]+)?
+_SQL_TOK = TOKEN_PATTERN_SQL  # RE2 Unicode word pattern, quote doubled
 
 
 # --------------------------------------------------------------- helpers ----
@@ -136,33 +136,38 @@ def _annot_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
     return AnnotatedCorpus(spark, root)
 
 
-# deterministic case-variant rule for the sensitivity layer: the testdata is
-# all-lowercase, so the @s layer capitalizes words of length >= 5 — the SAME
-# rule text is valid Spark SQL (inside transform) and DuckDB (list_transform)
+# deterministic case+ACCENT variant rule for the sensitivity fixture: the
+# testdata is all-lowercase ASCII, so the raw (@s) layer capitalizes words of
+# length >= 5 and accents every lowercase 'e' (e→é) in words of length >= 7 —
+# the SAME rule text is valid Spark SQL (inside transform) and DuckDB
+# (on a token column), so the oracle reproduces all four sensitivity levels
 _CASE_RULE = (
-    "CASE WHEN length({x}) >= 5 "
+    "CASE WHEN length({x}) >= 7 "
+    "THEN replace(concat(upper(substring({x}, 1, 1)), substring({x}, 2)), 'e', 'é') "
+    "WHEN length({x}) >= 5 "
     "THEN concat(upper(substring({x}, 1, 1)), substring({x}, 2)) "
     "ELSE {x} END"
 )
 
 
 def _sens_corpus(spark: SparkSession, sf_dir: str):
-    """Two-layer index: insensitive `word` + case-sensitive `word_s`
-    (the reference's @i / @s sensitivity fields, MatchSensitivity.java)."""
-    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_sens_v1"
+    """FOUR-level sensitivity index (the reference's s/i/ci/di fields,
+    MatchSensitivity.java:14-17): raw tokens from the _CASE_RULE variant,
+    derived layers word (i: fold∘lower), word_ci (lower), word_di (fold),
+    word_s (raw) via annotated.build_sensitivity_index."""
+    from blacklab_spark.annotated import build_sensitivity_index
+
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_sens_v2"
     root = os.path.join(CACHE_ROOT, name)
     d = _tokenized_docs(spark, sf_dir)
     frame = d.select(
         F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
         F.lit(0).alias("turn_idx"),
-        F.col("tokens").alias("word"),
         F.expr(
             f"transform(tokens, x -> {_CASE_RULE.format(x='x')})"
         ).alias("word_s"),
     )
-    build_annotated_index(
-        spark, frame, root, {"word": "word", "word_s": "word_s"}, resume=True
-    )
+    build_sensitivity_index(spark, frame, root, resume=True)
     return AnnotatedCorpus(spark, root)
 
 
@@ -184,16 +189,37 @@ def _mv_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
     return Corpus(spark, path)
 
 
+# deterministic dependency-arc rules for the CoNLL-U fixture (1-based token
+# index i, sentence length n) — the SAME logic is valid Python (below) and
+# DuckDB SQL (_REL_ARCS_SQL), so the oracle reconstructs identical arcs:
+#   head: i==1 → 0 (root); i%3==0 and i<n → i+1 (a BACKWARD arc);
+#         i%2==0 → i-1; else → 1
+#   deprel: root for i==1; else by POS class: func→case, long→obj, short→nsubj
+def _head_of(i: int, n: int) -> int:
+    if i == 1:
+        return 0
+    if i % 3 == 0 and i < n:
+        return i + 1
+    if i % 2 == 0:
+        return i - 1
+    return 1
+
+
+_DEPREL_BY_POS = {"func": "case", "long": "obj", "short": "nsubj"}
+
+
 def _conllu_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
     """CoNLL-U ingest end-to-end: render the first 50 documents as a
     deterministic .conllu file (FORM/LEMMA/UPOS via the shared derived-layer
-    rules), parse it back with read_conllu_annotated, build the layered
-    index, query it. Engine doc_id == document rank (one sentence block per
+    rules, HEAD/DEPREL via _head_of/_DEPREL_BY_POS), parse it back with
+    read_conllu_annotated, build the layered index + the relations table,
+    query it. Engine doc_id == document rank (one sentence block per
     document, one file), which the oracle reproduces with row_number()."""
+    from blacklab_spark.annotated import build_relations
     from blacklab_spark.operators.textstats import STOPWORDS
     from blacklab_spark.sources.readers import read_conllu_annotated
 
-    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_conllu_v1"
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_conllu_v2"
     root = os.path.join(CACHE_ROOT, name)
     fpath = os.path.join(root, "input.conllu")
     if not os.path.exists(fpath):
@@ -209,24 +235,67 @@ def _conllu_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
         def pos_of(w: str) -> str:
             return "func" if w in stop else ("long" if len(w) >= 6 else "short")
 
-        blocks = [
-            "\n".join(
-                f"{i + 1}\t{w}\t{w[0]}\t{pos_of(w)}"
-                for i, w in enumerate(r["tokens"])
-            )
-            for r in rows
-        ]
+        blocks = []
+        for r in rows:
+            toks = r["tokens"]
+            n = len(toks)
+            lines = []
+            for i, w in enumerate(toks, start=1):
+                p = pos_of(w)
+                dep = "root" if i == 1 else _DEPREL_BY_POS[p]
+                lines.append(
+                    f"{i}\t{w}\t{w[0]}\t{p}\t_\t_\t{_head_of(i, n)}\t{dep}"
+                )
+            blocks.append("\n".join(lines))
         tmp = fpath + ".tmp"
         with open(tmp, "w") as f:
             f.write("\n\n".join(blocks) + "\n")
         os.rename(tmp, fpath)
     frame = read_conllu_annotated(spark, fpath)
+    idx = os.path.join(root, "idx")
     build_annotated_index(
-        spark, frame, os.path.join(root, "idx"),
+        spark, frame, idx,
         {"word": "word", "lemma": "lemma", "pos": "pos"},
         doc_key=("conv_id", "turn_idx"), resume=True,
     )
-    return AnnotatedCorpus(spark, os.path.join(root, "idx"))
+    if not os.path.exists(os.path.join(idx, "relations")):
+        build_relations(spark, frame, idx)
+    return AnnotatedCorpus(spark, idx)
+
+
+def _chat_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
+    """CHAT (.cha) ingest end-to-end (DocIndexerChat analog): render the
+    first 30 non-empty documents as one deterministic CHAT transcript —
+    alternating *USR:/*AST: utterances, @ headers and %com tiers interleaved
+    (they must be SKIPPED by the parser) — read it back with read_chat and
+    build the index. Engine doc_id == utterance rank == document rank, which
+    the oracle reproduces with row_number()."""
+    from blacklab_spark.sources.readers import read_chat
+
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_chat_v1"
+    root = os.path.join(CACHE_ROOT, name)
+    fpath = os.path.join(root, "input.cha")
+    if not os.path.exists(fpath):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            _tokenized_docs(spark, sf_dir)
+            .filter(F.size("tokens") > 0)
+            .orderBy("doc_id").limit(30)
+            .select("text").collect()
+        )
+        lines = ["@Begin", "@Languages:\ten"]
+        for i, r in enumerate(rows):
+            spk = "USR" if i % 2 == 0 else "AST"
+            lines.append(f"*{spk}:\t{r['text']}")
+            lines.append("%com:\tthis dependent tier must be skipped")
+        lines.append("@End")
+        tmp = fpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(lines) + "\n")
+        os.rename(tmp, fpath)
+    idx = os.path.join(root, "idx")
+    build_index(spark, read_chat(spark, fpath), idx, resume=True)
+    return Corpus(spark, idx)
 
 
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -235,7 +304,7 @@ def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _load_documents(spark, sf_dir)
     return d.withColumn(
         "tokens",
-        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN_SQL.replace("''", "'")), 0),
+        F.regexp_extract_all(F.lower("text"), F.lit(TOKEN_PATTERN_JAVA), 0),
     )
 
 
@@ -371,6 +440,172 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 """
 
 
+def _sens_cql_sql() -> str:
+    """DuckDB reproduction of the 4-level sensitivity entry: derive the raw
+    (_CASE_RULE) layer, then the i/ci/di levels via the SAME lower/translate
+    fold the engine builds its layers with (tokenizer.ACCENT_FROM/TO)."""
+    from blacklab_spark.tokenizer import ACCENT_FROM, ACCENT_TO
+
+    fold = f"translate(x, '{ACCENT_FROM}', '{ACCENT_TO}')"
+    fold_lower = f"translate(lower(x), '{ACCENT_FROM}', '{ACCENT_TO}')"
+    return f"""
+WITH t AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM documents
+),
+c AS (
+  SELECT doc_id, toks,
+         list_transform(toks, x -> {_CASE_RULE.format(x='x')}) AS raw
+  FROM t
+),
+lv AS (
+  SELECT doc_id, toks, raw,
+         list_transform(raw, x -> {fold_lower}) AS lvl_i,
+         list_transform(raw, x -> lower(x)) AS lvl_ci,
+         list_transform(raw, x -> {fold}) AS lvl_di
+  FROM c
+),
+pos AS (
+  SELECT doc_id, generate_subscripts(toks, 1) AS i, raw, lvl_i, lvl_ci, lvl_di
+  FROM lv
+)
+SELECT 'i' AS level, doc_id, i - 1 AS start, i AS "end" FROM pos
+WHERE lvl_i[i] = 'table'
+UNION ALL
+SELECT 'ci', doc_id, i - 1, i FROM pos
+WHERE regexp_matches(lvl_ci[i], '^(?:.*é.*)$')
+UNION ALL
+SELECT 'di', doc_id, i - 1, i FROM pos
+WHERE regexp_matches(lvl_di[i], '^(?:Tabl.*)$')
+UNION ALL
+SELECT 's', doc_id, i - 1, i FROM pos
+WHERE raw[i] = 'Table'
+"""
+
+
+# the conllu fixture's doc/token CTEs, shared by conllu_ingest and rel_nsubj
+_CONLLU_CTES = """
+base AS (
+  SELECT doc_id, regexp_extract_all(lower(text), '{tok}') AS toks
+  FROM documents
+),
+d AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rid, toks
+  FROM (SELECT * FROM base WHERE len(toks) > 0 ORDER BY doc_id LIMIT 50)
+),
+pos AS (
+  SELECT rid, generate_subscripts(toks, 1) AS i, unnest(toks) AS tok,
+         len(toks) AS n
+  FROM d
+)
+"""
+
+
+def _rel_nsubj_sql() -> str:
+    """DuckDB reconstruction of the dependency arcs: the _head_of /
+    _DEPREL_BY_POS rules in SQL over the same conllu fixture tokens, then
+    the three probes (type filter + span modes + root direction)."""
+    pr = _pos_rule("tok")
+    return f"""
+WITH {_CONLLU_CTES.format(tok=_SQL_TOK)},
+arcs AS (
+  SELECT rid, i, n,
+    CASE WHEN i = 1 THEN 0
+         WHEN i % 3 = 0 AND i < n THEN i + 1
+         WHEN i % 2 = 0 THEN i - 1
+         ELSE 1 END AS head,
+    CASE WHEN i = 1 THEN 'root'
+         WHEN ({pr}) = 'func' THEN 'case'
+         WHEN ({pr}) = 'long' THEN 'obj'
+         ELSE 'nsubj' END AS deprel
+  FROM pos
+),
+rel AS (
+  SELECT rid AS doc_id, deprel,
+         CASE WHEN head = 0 THEN -1 ELSE head - 1 END AS src_s,
+         CASE WHEN head = 0 THEN -1 ELSE head END AS src_e,
+         i - 1 AS tgt_s, i AS tgt_e
+  FROM arcs
+)
+SELECT 'nsubj_full' AS variant, doc_id,
+       least(src_s, tgt_s) AS start, greatest(src_e, tgt_e) AS "end",
+       src_s AS c_source_s, src_e AS c_source_e,
+       tgt_s AS c_target_s, tgt_e AS c_target_e
+FROM rel WHERE deprel = 'nsubj'
+UNION ALL
+SELECT 'root_tgt', doc_id, tgt_s, tgt_e, src_s, src_e, tgt_s, tgt_e
+FROM rel WHERE deprel = 'root'
+UNION ALL
+SELECT 'obj_src', doc_id, src_s, src_e, src_s, src_e, tgt_s, tgt_e
+FROM rel WHERE deprel = 'obj'
+"""
+
+
+def _chat_ingest_sql() -> str:
+    """BM25 top-10 over the 30-utterance chat sub-corpus (doc_id = utterance
+    rank = rank of the source document among the first 30 non-empty)."""
+    tlist = ", ".join("'" + t + "'" for t in sorted(set(OR_TERMS)))
+    return f"""
+WITH src AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rid, text
+  FROM (
+    SELECT doc_id, text FROM documents
+    WHERE len(regexp_extract_all(lower(text), '{_SQL_TOK}')) > 0
+    ORDER BY doc_id LIMIT 30
+  )
+),
+tok AS (
+  SELECT rid, unnest(regexp_extract_all(lower(text), '{_SQL_TOK}')) AS term
+  FROM src
+),
+stats AS (
+  SELECT (SELECT count(*) FROM src)::DOUBLE AS n,
+         (SELECT count(*) FROM tok)::DOUBLE
+           / (SELECT count(*) FROM src)::DOUBLE AS avgdl
+),
+dl AS (SELECT rid, count(*) AS dl FROM tok GROUP BY rid),
+tf AS (
+  SELECT rid, term, count(*)::DOUBLE AS tf
+  FROM tok WHERE term IN ({tlist}) GROUP BY rid, term
+),
+df AS (SELECT term, count(*)::DOUBLE AS df FROM tf GROUP BY term),
+contrib AS (
+  SELECT tf.rid, ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)) * tf.tf
+         / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
+  FROM tf JOIN df USING (term) JOIN dl USING (rid) CROSS JOIN stats s
+)
+SELECT rid AS doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY rid
+ORDER BY score DESC, doc_id ASC LIMIT {K}
+"""
+
+
+def _ann_exact_sql() -> str:
+    """Exact per-query cosine top-10 for the 5 fixed query vectors — the
+    oracle side of the recall-gated ANN entries."""
+    cos = (
+        "list_dot_product(e.embedding::DOUBLE[], q.qe)"
+        " / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))"
+        " * sqrt(list_dot_product(q.qe, q.qe)))"
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qe
+  FROM embeddings WHERE vec_id < 5
+),
+s AS (
+  SELECT q.query_id, e.vec_id, {cos} AS cos
+  FROM embeddings e CROSS JOIN q
+),
+r AS (
+  SELECT query_id, vec_id, cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM s
+)
+SELECT query_id, vec_id, round(cos, 6) AS cosine FROM r WHERE rk <= {K}
+"""
+
+
 # -------------------------------------------------------------- entry -------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -383,24 +618,27 @@ def entry(spark: SparkSession) -> DataFrame:
 # -------------------------------------------------------------- queries -----
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    def bm25_term_scores(spark, sf_dir):
+    def bm25_scores(spark, sf_dir):
+        # single-term, multi-term OR and conjunctive AND scoring in ONE
+        # tagged union (r4 consolidation of bm25_term_scores/bm25_or_scores/
+        # bm25_and_scores — all three paths stay oracle-checked)
         c = _corpus(spark, sf_dir)
-        out = _orig_ids(c, c.score_or([TERM]))
-        return out.select("doc_id", F.round("score", 4).alias("score"))
+
+        def tag(df, t):
+            return _orig_ids(c, df).select(
+                F.lit(t).alias("q"), "doc_id",
+                F.round("score", 4).alias("score"),
+            )
+
+        return (
+            tag(c.score_or([TERM]), "term")
+            .unionByName(tag(c.score_or(OR_TERMS), "or"))
+            .unionByName(tag(c.score_and(OR_TERMS), "and"))
+        )
 
     def bm25_topk_or(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         out = _orig_ids(c, c.search_or(OR_TERMS, k=K))
-        return out.select("doc_id", F.round("score", 4).alias("score"))
-
-    def bm25_or_scores(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        out = _orig_ids(c, c.score_or(OR_TERMS))
-        return out.select("doc_id", F.round("score", 4).alias("score"))
-
-    def bm25_and_scores(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        out = _orig_ids(c, c.score_and(OR_TERMS))
         return out.select("doc_id", F.round("score", 4).alias("score"))
 
     def bm25_phrase(spark, sf_dir):
@@ -721,11 +959,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _to_orig(c, c.find_cql('[word="syn_t"] "key"'), "start", "end")
 
     def sens_cql(spark, sf_dir):
-        # case-SENSITIVE term on the @s layer followed by an insensitive
-        # term: [word_s="Table"] "key" (MatchSensitivity @s/@i routing)
+        # FOUR-level MatchSensitivity over a Unicode fixture (é-accented
+        # raw layer): the same probes at i / ci / di / s levels return
+        # different span sets, each tagged and oracle-checked —
+        #   i:  accent+case-folded pattern matches the folded layer
+        #   ci: accents distinguish ([word_ci=".*é.*"] hits only é-tokens)
+        #   di: case distinguishes ([word_di="Tabl.*"] hits only capitalized)
+        #   s:  exact raw ((?c) flag routes to word_s)
         ac = _sens_corpus(spark, sf_dir)
-        hits = ac.find_cql('[word_s="Table"] "key"')
-        return _to_orig(ac.word, hits, "start", "end")
+
+        def tag(q, t):
+            return _to_orig(
+                ac.word, ac.find_cql(q).select("doc_id", "start", "end"),
+                "start", "end",
+            ).select(F.lit(t).alias("level"), "doc_id", "start", "end")
+
+        return (
+            tag('[word="Tablé"]', "i")        # folds to 'table'
+            .unionByName(tag('[word_ci=".*é.*"]', "ci"))
+            .unionByName(tag('[word_di="Tabl.*"]', "di"))
+            .unionByName(tag('[word="(?c)Table"]', "s"))
+        )
+
+    def rel_nsubj(spark, sf_dir):
+        # dependency relations (SpanQueryRelations / `-reltype->`): arcs
+        # derived from the CoNLL-U fixture's HEAD/DEPREL columns; three
+        # tagged probes cover the type filter + span modes + direction:
+        #   nsubj_full: [] -nsubj-> []        (full-envelope spans, CQL path)
+        #   root_tgt:   root relations, target span mode
+        #   obj_src:    obj relations, source span mode
+        ac = _conllu_corpus(spark, sf_dir)
+        cols = ["doc_id", "start", "end",
+                "c_source_s", "c_source_e", "c_target_s", "c_target_e"]
+
+        def tag(df, t):
+            return df.select(
+                F.lit(t).alias("variant"),
+                *[F.col(c).cast("long").alias(c) for c in cols],
+            )
+
+        return (
+            tag(ac.find_cql('[] -nsubj-> []'), "nsubj_full")
+            .unionByName(
+                tag(ac.rel_find(".*", direction="root", span_mode="target"),
+                    "root_tgt")
+            )
+            .unionByName(tag(ac.rel_find("obj", span_mode="source"), "obj_src"))
+        )
+
+    def chat_ingest(spark, sf_dir):
+        # CHAT transcript ingest end-to-end (DocIndexerChat): render → parse
+        # (@ headers / % tiers skipped, *SPK utterances kept in order) →
+        # build → BM25 top-10 over the chat corpus; doc_id = utterance rank
+        c = _chat_corpus(spark, sf_dir)
+        return c.search_or(OR_TERMS, k=K).select(
+            "doc_id", F.round("score", 4).alias("score")
+        )
 
     def cosine_near_pairs(spark, sf_dir):
         # the SCALE path for embedding near-dup: banded sign-LSH candidates
@@ -738,26 +1027,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
         return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
-    # non-SQL-expressible (rows-only check): approximate ANN via sign-LSH
-    def ann_lsh_topk(spark, sf_dir):
+    # ANN with a correctness gate (VERDICT r3 "What's missing" #4): the entry
+    # runs the APPROXIMATE search for 5 query vectors, computes recall@10
+    # against the exact top-k driver-side (k-sized sets), and RAISES if the
+    # measured recall falls below the gate — then returns the exact top-k
+    # rows, which the oracle reproduces in SQL. A green row therefore
+    # certifies both "the ANN path ran with recall >= gate" and "the exact
+    # reference ranking matches DuckDB bitwise".
+    def _ann_checked(spark, sf_dir, ann_fn, gate, tag):
         emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-        out = similarity.signlsh_topk(emb, [float(x) for x in qv], k=K, num_planes=8)
-        return out.select("vec_id", F.round("cosine", 6).alias("cosine"))
+        qrows = (
+            emb.filter(F.col("vec_id") < 5)
+            .orderBy("vec_id").select("vec_id", "embedding").collect()
+        )
+        out = None
+        recalls = []
+        for qr in qrows:
+            qv = [float(x) for x in qr["embedding"]]
+            exact = similarity.cosine_topk(emb, qv, k=K)
+            ann_ids = {r["vec_id"] for r in ann_fn(emb, qv).collect()}
+            exact_rows = exact.collect()
+            exact_ids = {r["vec_id"] for r in exact_rows}
+            recalls.append(len(ann_ids & exact_ids) / float(K))
+            part = spark.createDataFrame(
+                [(int(qr["vec_id"]), int(r["vec_id"]), float(r["cosine"]))
+                 for r in exact_rows],
+                "query_id long, vec_id long, cosine double",
+            ).select(  # F.round (HALF_UP) matches DuckDB round, Python's doesn't
+                "query_id", "vec_id", F.round("cosine", 6).alias("cosine")
+            )
+            out = part if out is None else out.unionByName(part)
+        mean_recall = sum(recalls) / len(recalls)
+        if mean_recall < gate:
+            raise AssertionError(
+                f"{tag} recall@10 {mean_recall:.3f} < gate {gate}"
+            )
+        return out
 
-    # rows-only: IVF ANN (coarse k-means cells + nprobe re-rank)
-    def ann_ivf_topk(spark, sf_dir):
-        emb = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
-        qv = emb.filter(F.col("vec_id") == 0).select("embedding").first()["embedding"]
-        return similarity.ivf_topk(
-            emb, [float(x) for x in qv], k=K, n_centroids=16, nprobe=4
-        ).select("vec_id", F.round("cosine", 6).alias("cosine"))
+    def ann_lsh_checked(spark, sf_dir):
+        # 4 planes + hamming<=2 multiprobe: generous probing because the
+        # synthetic embeddings are near-orthogonal (the hard case for
+        # sign-LSH); measured recall@10 0.86-0.92 at sf0.001/0.01, gate 0.5
+        return _ann_checked(
+            spark, sf_dir,
+            lambda emb, qv: similarity.signlsh_topk(
+                emb, qv, k=K, num_planes=4, multiprobe_hamming=2
+            ),
+            gate=0.5, tag="signlsh",
+        )
+
+    def ann_ivf_checked(spark, sf_dir):
+        state = {}  # train + assign ONCE, reuse across the 5 queries
+
+        def fn(emb, qv):
+            if "c" not in state:
+                state["c"] = similarity.ivf_train_centroids(emb, n_centroids=8)
+                state["a"] = similarity.ivf_assign(emb, state["c"]).cache()
+            return similarity.ivf_topk(
+                emb, qv, k=K, centroids=state["c"], nprobe=4, assign=state["a"]
+            )
+
+        return _ann_checked(spark, sf_dir, fn, gate=0.5, tag="ivf")
 
     # EXACTLY 50 entries (the driver's per-round verification cap), ordered
     # so that entries that have never had a CORRECTNESS row — plus this
     # round's new ones — come FIRST (VERDICT r2 "What's wrong" #1).
     # Consolidations that paid for the new slots (coverage retained):
-    #   bm25_topk_term ⊂ bm25_term_scores + bm25_topk_or
+    #   bm25_term_scores / bm25_or_scores / bm25_and_scores → bm25_scores
+    #     (tagged union; all three scoring paths still oracle-checked)
+    #   bm25_topk_term ⊂ bm25_scores + bm25_topk_or
     #   highlight      → merged into kwic (snippet column)
     #   term_freq      → merged into term_dict (dual-path inner join)
     #   token_count/quality/lang_id/fingerprint → textstats_suite (wide join)
@@ -767,27 +1105,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   span_expand    ⊂ span_containing (producer is an expansion)
     #   annot_lemma    ⊂ annot_lemma_pos
     return {
-        # -- never driver-verified in r2 (the 50-entry cutoff) --------------
+        # -- new / reshaped this round (never verified in this form) --------
+        "rel_nsubj": rel_nsubj,
+        "chat_ingest": chat_ingest,
+        "sens_cql": sens_cql,            # upgraded: 4-level + Unicode
+        "bm25_scores": bm25_scores,      # merges term/or/and score entries
+        "ann_lsh_checked": ann_lsh_checked,   # recall-gated, oracle-checked
+        "ann_ivf_checked": ann_ivf_checked,
+        # -- green in r3 -----------------------------------------------------
         "annot_lemma_pos": annot_lemma_pos,
         "annot_constraint": annot_constraint,
         "annot_lemma_freq": annot_lemma_freq,
         "hits_by_capture": hits_by_capture,
         "hit_groups_sampled": hit_groups_sampled,
         "fuzzy_expand": fuzzy_expand,
-        "ann_lsh_topk": ann_lsh_topk,
-        "ann_ivf_topk": ann_ivf_topk,
-        # -- new this round --------------------------------------------------
         "cosine_near_pairs": cosine_near_pairs,
-        "sens_cql": sens_cql,
         "multivalue_tokens": multivalue_tokens,
         "conllu_ingest": conllu_ingest,
         "multimodal_features": multimodal_features,
         "textstats_suite": textstats_suite,
-        # -- green in r2 -----------------------------------------------------
-        "bm25_term_scores": bm25_term_scores,
         "bm25_topk_or": bm25_topk_or,
-        "bm25_or_scores": bm25_or_scores,
-        "bm25_and_scores": bm25_and_scores,
         "bm25_phrase": bm25_phrase,
         "term_dict": term_dict,
         "doc_lengths": doc_lengths,
@@ -914,10 +1251,18 @@ FROM documents d LEFT JOIN f ON f.id = d.doc_id
 """
 
     return {
-        "bm25_term_scores": _bm25_or_sql([TERM], None),
+        "rel_nsubj": _rel_nsubj_sql(),
+        "chat_ingest": _chat_ingest_sql(),
+        "ann_lsh_checked": _ann_exact_sql(),
+        "ann_ivf_checked": _ann_exact_sql(),
+        "bm25_scores": f"""
+SELECT 'term' AS q, doc_id, score FROM ({_bm25_or_sql([TERM], None)}) a
+UNION ALL
+SELECT 'or' AS q, doc_id, score FROM ({_bm25_or_sql(OR_TERMS, None)}) b
+UNION ALL
+SELECT 'and' AS q, doc_id, score FROM ({_bm25_and_sql(OR_TERMS)}) c
+""",
         "bm25_topk_or": _bm25_or_sql(OR_TERMS, K),
-        "bm25_or_scores": _bm25_or_sql(OR_TERMS, None),
-        "bm25_and_scores": _bm25_and_sql(OR_TERMS),
         "bm25_phrase": _bm25_phrase_sql(PHRASE, K),
         "term_dict": f"""
 WITH {_BASE_CTES}
@@ -1055,23 +1400,7 @@ FROM pos
 WHERE substring(tok, 1, 1) = 't'
   AND i + 1 <= len(toks) AND toks[i + 1] = 'key'
 """,
-        "sens_cql": f"""
-WITH t AS (
-  SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
-  FROM documents
-),
-c AS (
-  SELECT doc_id, toks,
-         list_transform(toks, x -> {_CASE_RULE.format(x='x')}) AS cased
-  FROM t
-),
-pos AS (
-  SELECT doc_id, generate_subscripts(toks, 1) AS i, toks, cased FROM c
-)
-SELECT doc_id, i - 1 AS start, i + 1 AS "end"
-FROM pos
-WHERE cased[i] = 'Table' AND i + 1 <= len(toks) AND toks[i + 1] = 'key'
-""",
+        "sens_cql": _sens_cql_sql(),
         "events_hourly": """
 SELECT epoch(date_trunc('hour', ts))::BIGINT AS win_start_epoch,
        event_type, count(*) AS n, round(sum(value), 3) AS total_value

@@ -28,6 +28,57 @@ from blacklab_spark.corpus import Corpus
 _LAYERS_FILE = "_layers.json"
 
 
+def sensitivity_exprs(raw_col: str, base: str = "word") -> dict[str, F.Column]:
+    """The reference's 4-level MatchSensitivity as derived layer expressions
+    over ONE raw (case+accent-preserving) token array column
+    (MatchSensitivity.java:14-17; field naming `contents%word@s`,
+    doc/technical/index-formats/integrated.md:19-31):
+
+        <base>     i-level:  fold_accents(lower(tok))   — the default field
+        <base>_ci  case-insensitive only: lower(tok)
+        <base>_di  diacritics-insensitive only: fold_accents(tok)
+        <base>_s   sensitive: the raw tokens
+
+    All four are per-position transforms of the SAME array, so positions are
+    aligned by construction. The fold is tokenizer.ACCENT_FROM/TO via SQL
+    translate() — identical bytes to the Python and DuckDB folds."""
+    from blacklab_spark.tokenizer import fold_sql
+
+    return {
+        base: F.expr(f"transform({raw_col}, x -> {fold_sql('lower(x)')})"),
+        base + "_ci": F.expr(f"transform({raw_col}, x -> lower(x))"),
+        base + "_di": F.expr(f"transform({raw_col}, x -> {fold_sql('x')})"),
+        base + "_s": F.col(raw_col),
+    }
+
+
+def build_sensitivity_index(
+    spark: SparkSession,
+    frame: DataFrame,
+    root: str,
+    raw_col: str = "word_s",
+    base: str = "word",
+    *,
+    doc_key: tuple[str, str] = ("conv_id", "turn_idx"),
+    **build_kwargs,
+) -> str:
+    """Build the full 4-sensitivity index from a raw token column: layers
+    <base>, <base>_ci, <base>_di, <base>_s. The i-level (and _di) layers are
+    recorded as FOLDED so the CQL compiler accent-folds literal patterns
+    against them (the reference desensitizes the search string per field)."""
+    exprs = sensitivity_exprs(raw_col, base)
+    derived = frame.select(
+        *doc_key, *[e.alias(f"__{n}") for n, e in exprs.items()]
+    )
+    return build_annotated_index(
+        spark, derived, root,
+        {n: f"__{n}" for n in exprs},
+        doc_key=doc_key,
+        folded={base, base + "_di"},
+        **build_kwargs,
+    )
+
+
 def build_annotated_index(
     spark: SparkSession,
     frame: DataFrame,
@@ -35,13 +86,16 @@ def build_annotated_index(
     annotations: dict[str, str],
     *,
     doc_key: tuple[str, str] = ("conv_id", "turn_idx"),
+    folded: set[str] | None = None,
     **build_kwargs,
 ) -> str:
     """Build one index per annotation layer from position-aligned token
     columns. `annotations` maps layer name → array<string> column of `frame`;
     a 'word' layer is required (it is the default annotation, like the
     reference's mainAnnotation). All layers share the docID space because
-    every per-layer build sorts the same doc_key set."""
+    every per-layer build sorts the same doc_key set. `folded` names the
+    layers whose tokens are accent-FOLDED (i/di sensitivity levels) so the
+    query compiler desensitizes patterns against them the same way."""
     if "word" not in annotations:
         raise ValueError("a 'word' layer is required")
     os.makedirs(root, exist_ok=True)
@@ -50,7 +104,9 @@ def build_annotated_index(
         build_index(spark, layer, os.path.join(root, name),
                     doc_key=doc_key, **build_kwargs)
     with open(os.path.join(root, _LAYERS_FILE), "w") as f:
-        json.dump(sorted(annotations), f)
+        json.dump(
+            {"layers": sorted(annotations), "folded": sorted(folded or [])}, f
+        )
     return root
 
 
@@ -67,8 +123,7 @@ def add_to_annotated_index(
     index — a partial append would desynchronize docID spaces."""
     from blacklab_spark.incremental import add_to_index
 
-    with open(os.path.join(root, _LAYERS_FILE)) as f:
-        names = set(json.load(f))
+    names = set(_read_layers(root)[0])
     if set(annotations) != names:
         raise ValueError(f"layer mismatch: index has {sorted(names)}, "
                          f"append provides {sorted(annotations)}")
@@ -101,14 +156,24 @@ def build_relations(
     return root
 
 
+def _read_layers(root: str) -> tuple[list[str], list[str]]:
+    """(layer names, folded layer names) — tolerates the pre-r4 bare-list
+    file format."""
+    with open(os.path.join(root, _LAYERS_FILE)) as f:
+        data = json.load(f)
+    if isinstance(data, list):
+        return data, []
+    return data["layers"], data.get("folded", [])
+
+
 class AnnotatedCorpus:
     """Query-side view over the per-annotation layer indexes."""
 
     def __init__(self, spark: SparkSession, root: str):
-        with open(os.path.join(root, _LAYERS_FILE)) as f:
-            names = json.load(f)
+        names, folded = _read_layers(root)
         self.root = root
         self.layers = {n: Corpus(spark, os.path.join(root, n)) for n in names}
+        self.folded = set(folded)
         self.word = self.layers["word"]
         self.spark = spark
 
@@ -158,7 +223,8 @@ class AnnotatedCorpus:
 
         def build():
             compiler = CqlCompiler(
-                self.word, layers=self.layers, relations=self.relations
+                self.word, layers=self.layers, relations=self.relations,
+                folded=self.folded,
             )
             return compiler.compile(rewrite(parse_cql(query)))
 

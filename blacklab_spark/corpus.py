@@ -74,7 +74,7 @@ class Corpus:
     def postings(self) -> DataFrame:
         return self.spark.read.parquet(self.paths.postings)
 
-    def preload(self, pin_docs: bool = True) -> "Corpus":
+    def preload(self, pin_docs: bool | str = "auto") -> "Corpus":
         """Serving mode — the analog of BlackLab holding an open IndexReader:
 
         * term dictionary cached driver-side (lookup_terms / expand_pattern);
@@ -105,12 +105,27 @@ class Corpus:
                 + F.length("positions")
             )
         ).collect()
+        if pin_docs == "auto":
+            # pin only when the decoded docs table fits comfortably: under
+            # memory pressure the persisted docs cache competes with the
+            # postings page cache and DEGRADES span-heavy serving (measured
+            # at 1.2M turns, BENCH/BASELINE.md r3 caveat — previously a
+            # manual pin_docs=False). On-disk parquet expands roughly 3x
+            # as an in-memory columnar cache; cap at 25% of the JVM heap.
+            docs_bytes = sum(
+                os.path.getsize(os.path.join(self.paths.docs, nm))
+                for nm in os.listdir(self.paths.docs)
+                if nm.startswith("part-")
+            )
+            heap = int(
+                self.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+                .maxMemory()
+            )
+            pin_docs = docs_bytes * 3 < heap * 0.25
         if pin_docs:
             # pays off for KWIC/collocation/constraint consumers (JVM joins
             # over the forward index); span-heavy serving at large corpora
-            # can skip it (pin_docs=False) — under memory pressure the
-            # persisted docs table competes with the postings page cache
-            # (measured at 1.2M turns, BENCH/BASELINE.md r3 caveat)
+            # skips it via the auto guard above
             self._docs_df = self.spark.read.parquet(self.paths.docs).persist(
                 StorageLevel.MEMORY_AND_DISK
             )

@@ -159,6 +159,11 @@ def signlsh_topk(
     probe = [qbucket]
     if multiprobe_hamming >= 1:
         probe += [qbucket ^ (1 << p) for p in range(num_planes)]
+    if multiprobe_hamming >= 2:
+        probe += [
+            qbucket ^ (1 << p) ^ (1 << r)
+            for p in range(num_planes) for r in range(p + 1, num_planes)
+        ]
     cand = sig.filter(F.col("bucket").isin(probe)).select("id")
     sub = emb.join(cand, emb[id_col] == cand["id"], "left_semi")
     return cosine_topk(sub, query_vec, k, id_col, vec_col)

@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from blacklab_spark.tokenizer import TOKEN_PATTERN
+from blacklab_spark.tokenizer import TOKEN_PATTERN_JAVA
 
 # marker-word lists for the n-gram language heuristic (deterministic toy
 # lists — the point is the Spark plumbing, not linguistic accuracy)
@@ -26,7 +26,7 @@ STOPWORDS = ["the", "a", "of", "to", "and", "in", "is", "for", "on", "with"]
 
 
 def _tokens(text_col):
-    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN), 0)
+    return F.regexp_extract_all(F.lower(text_col), F.lit(TOKEN_PATTERN_JAVA), 0)
 
 
 def token_counts(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

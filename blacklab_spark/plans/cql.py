@@ -53,8 +53,11 @@ from blacklab_spark.tokenizer import tokenize
 UNBOUNDED = 1 << 30
 MAX_ALTERNATIVES = 64  # cap for optional-unit expansion
 
-_PLAIN_TERM = re.compile(r"^[a-z0-9']+$")
-_PLAIN_TERM_ANYCASE = re.compile(r"^[A-Za-z0-9']+$")
+# "no regex metacharacters, fits the token charset" — Unicode word chars
+# (minus underscore) plus the in-token apostrophe; ASCII uppercase excluded
+# from the insensitive form (it is only ever tested AFTER desensitization)
+_PLAIN_TERM = re.compile(r"^(?:[^\W_A-Z]|')+$")
+_PLAIN_TERM_ANYCASE = re.compile(r"^(?:[^\W_]|')+$")
 _SENS_FLAG = re.compile(r"^\(\?(?:-i|c)\)")  # (?-i) / (?c): case-sensitive
 
 
@@ -407,6 +410,27 @@ def _desensitize_pattern(pattern: str) -> str:
     return "".join(out)
 
 
+def _fold_pattern(pattern: str) -> str:
+    """Accent-fold a pattern destined for a FOLDED (i/di-level) layer, same
+    escape-preserving walk as _desensitize_pattern. The fold map is strictly
+    1:1 (tokenizer.fold_accents), so regex structure can't be corrupted —
+    metacharacters are ASCII and fold to themselves."""
+    from blacklab_spark.tokenizer import fold_accents
+
+    out = []
+    i = 0
+    while i < len(pattern):
+        ch = pattern[i]
+        if ch == "\\" and i + 1 < len(pattern):
+            out.append(ch)
+            out.append(pattern[i + 1])
+            i += 2
+        else:
+            out.append(fold_accents(ch))
+            i += 1
+    return "".join(out)
+
+
 def parse_cql(q: str):
     return _Parser(_lex(q)).query()
 
@@ -424,11 +448,16 @@ class CqlCompiler:
     """
 
     def __init__(self, corpus, max_expand: int = 1024, layers: dict | None = None,
-                 relations: DataFrame | None = None):
+                 relations: DataFrame | None = None,
+                 folded: set[str] | None = None):
         self.c = corpus
         self.max_expand = max_expand
         self.layers = layers or {"word": corpus}
         self.relations = relations  # (doc_id, rel_type, src_*, tgt_*) table
+        # layers whose tokens are accent-FOLDED (i/di sensitivity levels):
+        # patterns against them are folded too, like the reference
+        # desensitizes the search string per target field
+        self.folded = folded or set()
 
     # ---- leaves ----
     def _layer(self, annot: str):
@@ -461,8 +490,10 @@ class CqlCompiler:
                 raise ValueError(
                     f"case-sensitive search needs an indexed {annot!r} layer"
                 )
-        elif not annot.endswith("_s"):
+        elif not annot.endswith("_s") and not annot.endswith("_di"):
             pattern = _desensitize_pattern(pattern)
+        if annot in self.folded:
+            pattern = _fold_pattern(pattern)
         if _PLAIN_TERM.match(pattern) or (
             annot.endswith("_s") and _PLAIN_TERM_ANYCASE.match(pattern)
         ):
@@ -698,26 +729,62 @@ class CqlCompiler:
             out = out.unionByName(f)
         return out.dropDuplicates(cols)
 
+    def _run_positions(self, run: list[tuple[str, list[str], int]]) -> DataFrame:
+        """Fold a RUN of single-position clauses [(annot, terms, offset)] into
+        one (doc_id, positions) frame in run-start coordinates, intersecting
+        RAREST CLAUSE FIRST (ascending total df — score_phrase's
+        ClauseCombinerNfa cost ordering, corpus.py). Intersection with offset
+        bookkeeping is commutative, so anchoring at the lowest-df clause is
+        free exactness-wise and means the smallest array drives every
+        subsequent array_intersect — a stop-word-first chain like
+        "the" "of" "and" no longer intersects its two biggest arrays first.
+        Layers may differ across the run: annotation layers are
+        position-aligned by construction (annotated.build_annotated_index)."""
+        infos = []
+        for annot, terms, off in run:
+            ti = self._layer(annot).lookup_terms(terms)
+            infos.append((int(ti["df"].sum()) if len(ti) else 0, annot, terms, off))
+        infos.sort(key=lambda t: (t[0], t[3]))
+        acc_p = None
+        for _, annot, terms, off in infos:
+            p = self._layer(annot).positions_of_terms(terms)
+            if acc_p is None:
+                # anchor, rebased to run-start coordinates (intermediate
+                # negatives are fine: the off=0 clause prunes them later)
+                acc_p = (
+                    p if off == 0
+                    else p.select(
+                        "doc_id",
+                        F.transform(
+                            "positions", lambda x: x - F.lit(off)
+                        ).alias("positions"),
+                    )
+                )
+            else:
+                acc_p = S.seq_positions_extend(acc_p, p, off)
+        return acc_p
+
     def _compile_seq_concrete(self, units: list[Unit]) -> DataFrame:
         """Left-to-right sequence compile. Runs of single-position clauses
         (plain terms, regex expansions, sensitivity-routed — _pos_clause)
         stay in the ARRAY DOMAIN: one (doc_id, positions) row per doc per
-        clause, chained by JVM array_intersect of shifted arrays across
-        FIXED gaps, one shift-explode per VARIABLE finite gap — so a whole
-        stop-word phrase shuffles doc rows, never position rows. Only
+        clause, collected per fixed-gap run and intersected rarest-first
+        (_run_positions), one shift-explode per VARIABLE finite gap — so a
+        whole stop-word phrase shuffles doc rows, never position rows. Only
         captures, repetitions, any-token units and unbounded gaps fall back
         to the row-level _seq_join."""
         acc = None
-        acc_pos = None  # (annot, positions_df, width): array-domain prefix
+        run: list[tuple[str, list[str], int]] = []  # array-domain prefix run
+        run_width = 0
         lead_gap: tuple[int, int] | None = None
         pend_gap: tuple[int, int] | None = None
         any_total = None
 
         def materialize() -> None:
-            nonlocal acc, acc_pos
-            if acc is None and acc_pos is not None:
-                acc = S.spans_from_positions(acc_pos[1], acc_pos[2])
-            acc_pos = None
+            nonlocal acc, run, run_width
+            if acc is None and run:
+                acc = S.spans_from_positions(self._run_positions(run), run_width)
+            run, run_width = [], 0
 
         for u in units:
             if isinstance(u.node, AnyToken) and u.label is None:
@@ -738,7 +805,7 @@ class CqlCompiler:
             if isinstance(u.node, Lookahead):
                 # zero-width assertion at the current end position
                 # (cql.jj sequencePartNoCapture lookahead, :502)
-                if acc is None and acc_pos is None:
+                if acc is None and not run:
                     raise ValueError("lookahead needs a preceding clause")
                 materialize()
                 if pend_gap is not None:
@@ -762,36 +829,36 @@ class CqlCompiler:
                 )
                 continue
             pc = self._pos_clause(u)
-            if acc is None and acc_pos is None:
+            if acc is None and not run:
                 if pend_gap is not None:
                     lead_gap = pend_gap
                     pend_gap = None
                 if pc is not None:
                     annot, terms = pc
-                    acc_pos = (
-                        annot, self._layer(annot).positions_of_terms(terms), 1
-                    )
+                    run = [(annot, terms, 0)]
+                    run_width = 1
                 else:
                     acc = self._compile_unit(u)
                 continue
             gmin, gmax = pend_gap or (0, 0)
             pend_gap = None
-            if acc is None and pc is not None and pc[0] == acc_pos[0]:
+            if acc is None and run and pc is not None:
                 annot, terms = pc
-                pb = self._layer(annot).positions_of_terms(terms)
-                _, apdf, w = acc_pos
                 if gmin == gmax:
                     # fixed gap: stay in the array domain, width grows
-                    acc_pos = (
-                        annot,
-                        S.seq_positions_extend(apdf, pb, w + gmin),
-                        w + gmin + 1,
-                    )
+                    run.append((annot, terms, run_width + gmin))
+                    run_width += gmin + 1
                     continue
                 if gmax < UNBOUNDED:
-                    # variable finite gap: one shift per gap value, spans out
-                    acc = S.seq_positions_pair(apdf, w, pb, gmin, gmax)
-                    acc_pos = None
+                    # variable finite gap: fold the run rarest-first, then
+                    # one shift per gap value, spans out
+                    apdf, w = self._run_positions(run), run_width
+                    run, run_width = [], 0
+                    acc = S.seq_positions_pair(
+                        apdf, w,
+                        self._layer(annot).positions_of_terms(terms),
+                        gmin, gmax,
+                    )
                     continue
             materialize()
             acc = self._seq_join(acc, self._compile_unit(u), gmin, gmax)

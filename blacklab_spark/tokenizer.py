@@ -1,33 +1,65 @@
-"""Tokenizer — deterministic, locale-independent, vectorized.
+"""Tokenizer — deterministic, Unicode-aware, vectorized, tri-engine locked.
 
-Contract (FIXTURES.md §3): lowercase, then findall r"[a-z0-9]+(?:'[a-z0-9]+)?".
-ASCII fold only; term order is plain byte order (we deliberately avoid the
-reference's ICU collators — /root/reference/engine/src/main/java/nl/inl/blacklab/
-forwardindex/Collators.java:3-67 — to keep parity trivially deterministic).
+Contract (FIXTURES.md §3): lowercase, then findall the Unicode word pattern.
+Tokens keep their diacritics (`café` → `['café']`); accent FOLDING is a
+sensitivity-layer concern (see fold_accents below), mirroring the reference's
+4-level MatchSensitivity (/root/reference/engine/src/main/java/nl/inl/blacklab/
+search/indexmetadata/MatchSensitivity.java:14-17):
 
-The reference's analog is its analyzer chain (BLDutchTokenizer / DesensitizeFilter,
-/root/reference/engine/src/main/java/nl/inl/blacklab/analysis/BLDutchTokenizer.java:6-15).
-Both engine and oracle import THIS function; tests assert per-turn token equality.
+    s   sensitive            raw tokens            tokenize_sensitive
+    i   insensitive          fold(lower(tok))      tokenize_insensitive
+    ci  case-insensitive     lower(tok)            tokenize  (the default)
+    di  diacritics-insens.   fold(tok)             fold_accents ∘ tokenize_sensitive
 
-The vectorized path (`tokenize_series`) is a pandas str-method pipeline used
-inside an Arrow-batched pandas UDF — no per-row Python in the Spark hot path.
+The default single-layer index is the ci level; sensitivity-aware indexes
+build the other levels as derived layers (annotated.sensitivity_layers).
+
+THREE regex engines must agree on the token boundary — Python re (the build
+pandas UDF + oracle), Java regex (Spark SQL regexp_extract_all in derived-
+layer helpers), and RE2 (the DuckDB oracle). The classes are equivalent on
+the BMP (verified exhaustively, tests/test_sensitivity.py):
+
+    Python  [^\\W_]          == Java/RE2  [\\p{L}\\p{N}]
+
+Known engine skew, all on codepoints recent Unicode versions added (absent
+from fixtures/testdata, pinned by test):
+  * Java 17 lacks ~56 BMP Lo letters (Arabic Ext-B etc.) newer tables have;
+  * DuckDB/RE2 knows ~196 supplementary-plane letters Python 3.11 doesn't;
+  * lower() differs on 9 exotic BMP caps (İ Ⱟ Ꟁ…) between engines.
+
+Accent folding is an EXPLICIT 1:1 map (NFD → strip combining marks, kept
+only where the result is one char), applied identically via str.translate /
+Spark translate() / DuckDB translate() — so all three engines fold the same
+bytes by construction. Digraphs the reference's ICU folding would split
+(æ→ae, ĳ→ij, ß→ss) are deliberately left alone: translate() is 1:1 and a
+1:2 fold would break position alignment guarantees anyway. Documented
+divergence from RemoveAllAccentsFilter.java:17 (which uses Normalizer+regex).
+
+The vectorized paths (`*_series`) are pandas str-method pipelines used
+inside Arrow-batched pandas UDFs — no per-row Python in the Spark hot path.
 """
 
 from __future__ import annotations
 
 import re
+import unicodedata
 
 import pandas as pd
 
-TOKEN_PATTERN = r"[a-z0-9]+(?:'[a-z0-9]+)?"
+# Python side: Unicode letters+digits (word chars minus underscore)
+TOKEN_PATTERN = r"[^\W_]+(?:'[^\W_]+)?"
 TOKEN_RE = re.compile(TOKEN_PATTERN)
 
-# The same pattern as an ANSI/DuckDB-compatible regex literal (single quotes doubled).
-TOKEN_PATTERN_SQL = "[a-z0-9]+(?:''[a-z0-9]+)?"
+# Java (Spark SQL) side: same class spelled with Unicode properties
+TOKEN_PATTERN_JAVA = r"[\p{L}\p{N}]+(?:'[\p{L}\p{N}]+)?"
+
+# DuckDB (RE2) side: same, with the apostrophe doubled for SQL literals
+TOKEN_PATTERN_SQL = r"[\p{L}\p{N}]+(?:''[\p{L}\p{N}]+)?"
 
 
 def tokenize(text: str) -> list[str]:
-    """Scalar tokenizer (oracle / tests)."""
+    """Scalar tokenizer (oracle / tests): the ci level — case-folded,
+    diacritics preserved. tokenize('Café') == ['café']."""
     if text is None:
         return []
     return TOKEN_RE.findall(text.lower())
@@ -39,26 +71,21 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
 
 
 # --- case-SENSITIVE variant (the reference's @s sensitivity) -----------------
-# BlackLab indexes each annotation at up to four sensitivities as separate
-# Lucene fields (MatchSensitivity.java:14-17; field naming `contents%word@s`,
-# doc/technical/index-formats/integrated.md:19-31). Here the sensitive layer
-# is a SECOND index layer (`<annot>_s`) built from case-preserving tokens.
-#
-# Position-alignment contract: sensitive tokens are matched on the RAW text
-# with the case-insensitive ASCII pattern, so for any text whose lower() maps
-# ASCII letters to ASCII letters (all ASCII text; virtually all real text)
-# lower(tokenize_sensitive(t)) == tokenize(t) position by position. Exotic
-# one-to-many lowercasings (U+0130, U+212A) can break alignment — derive the
-# insensitive layer from the sensitive one (transform(.., lower)) when both
-# are indexed together, as build examples and the driver entry do.
+# Position-alignment contract: sensitive tokens are matched on the RAW text;
+# for any text whose lower() maps letters to single letters (virtually all
+# real text) lower(tokenize_sensitive(t)) == tokenize(t) position by
+# position. Exotic one-to-many lowercasings (U+0130) can break alignment —
+# derive the insensitive layers from the sensitive one (transform(.., lower))
+# when several levels are indexed together, as sensitivity_layers does.
 
-TOKEN_PATTERN_SENSITIVE = r"[A-Za-z0-9]+(?:'[A-Za-z0-9]+)?"
-TOKEN_RE_SENSITIVE = re.compile(TOKEN_PATTERN_SENSITIVE)
-TOKEN_PATTERN_SENSITIVE_SQL = "[A-Za-z0-9]+(?:''[A-Za-z0-9]+)?"
+TOKEN_PATTERN_SENSITIVE = TOKEN_PATTERN  # same class; no pre-lowering
+TOKEN_RE_SENSITIVE = TOKEN_RE
+TOKEN_PATTERN_SENSITIVE_SQL = TOKEN_PATTERN_SQL
+TOKEN_PATTERN_SENSITIVE_JAVA = TOKEN_PATTERN_JAVA
 
 
 def tokenize_sensitive(text: str) -> list[str]:
-    """Scalar case-preserving tokenizer (oracle / tests)."""
+    """Scalar case+diacritics-preserving tokenizer (the s level)."""
     if text is None:
         return []
     return TOKEN_RE_SENSITIVE.findall(text)
@@ -67,3 +94,57 @@ def tokenize_sensitive(text: str) -> list[str]:
 def tokenize_sensitive_series(texts: pd.Series) -> pd.Series:
     """Vectorized case-preserving tokenizer."""
     return texts.fillna("").str.findall(TOKEN_RE_SENSITIVE)
+
+
+# --- accent folding (the di/i levels) ----------------------------------------
+
+def _build_accent_map() -> dict[int, str]:
+    """1:1 fold map over Latin-1 Supplement .. Latin Extended-B plus Latin
+    Extended Additional (covers Dutch/French/German/Vietnamese vocab): for
+    each char, NFD-decompose, drop combining marks (Mn); keep the mapping
+    only when exactly one base char remains and it differs from the input.
+    Deterministic pure function of the unicodedata tables."""
+    out: dict[int, str] = {}
+    for cp in list(range(0x00C0, 0x0250)) + list(range(0x1E00, 0x1F00)):
+        ch = chr(cp)
+        base = "".join(
+            c for c in unicodedata.normalize("NFD", ch)
+            if unicodedata.category(c) != "Mn"
+        )
+        if len(base) == 1 and base != ch:
+            out[cp] = base
+    return out
+
+
+_ACCENT_MAP = _build_accent_map()
+# the same map as parallel strings for Spark/DuckDB translate(src, FROM, TO)
+ACCENT_FROM = "".join(chr(cp) for cp in sorted(_ACCENT_MAP))
+ACCENT_TO = "".join(_ACCENT_MAP[cp] for cp in sorted(_ACCENT_MAP))
+
+
+def fold_accents(s: str) -> str:
+    """é→e, ü→u, ñ→n … via the explicit 1:1 map (NOT unicodedata at call
+    time — the map is the contract shared with the SQL translate() calls)."""
+    return s.translate(_ACCENT_MAP)
+
+
+def fold_accents_series(s: pd.Series) -> pd.Series:
+    return s.str.translate(_ACCENT_MAP)
+
+
+def fold_sql(expr: str) -> str:
+    """The identical fold as a SQL expression (valid in Spark SQL and
+    DuckDB): translate(expr, ACCENT_FROM, ACCENT_TO)."""
+    return f"translate({expr}, '{ACCENT_FROM}', '{ACCENT_TO}')"
+
+
+def tokenize_insensitive(text: str) -> list[str]:
+    """The i level: case- AND diacritics-folded tokens —
+    tokenize_insensitive('Café') == ['cafe']."""
+    return [fold_accents(t) for t in tokenize(text)]
+
+
+def tokenize_insensitive_series(texts: pd.Series) -> pd.Series:
+    return tokenize_series(texts).map(
+        lambda toks: [t.translate(_ACCENT_MAP) for t in toks]
+    )

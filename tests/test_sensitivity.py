@@ -82,3 +82,117 @@ def test_flag_without_s_layer_raises(scorp):
     with pytest.raises(ValueError, match="lemma_s"):
         # lemma_s was never indexed
         scorp.find_cql('[lemma="(?-i)x"]')
+
+
+# --------------------- round 4: Unicode + 4-level sensitivity ----------------
+
+UNI_TEXTS = [
+    "Het Café aan de gracht",            # doc 0
+    "een cafe zonder accenten",          # doc 1
+    "CAFÉ in kapitalen, één café",       # doc 2
+    "Müller's muller-molen",             # doc 3
+]
+
+
+@pytest.fixture(scope="module")
+def ucorp(spark, tmp_root):
+    from blacklab_spark.annotated import build_sensitivity_index
+
+    rows = [
+        ("conv-u", i, tokenize_sensitive(t)) for i, t in enumerate(UNI_TEXTS)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "word_s"])
+    root = f"{tmp_root}/uni_sens_idx"
+    build_sensitivity_index(
+        spark, spark.createDataFrame(pdf), root, block_size=4,
+    )
+    return AnnotatedCorpus(spark, root)
+
+
+def test_unicode_tokenize_keeps_diacritics():
+    assert tokenize("Café") == ["café"]
+    assert tokenize("café, cafe; CAFÉ") == ["café", "cafe", "café"]
+    assert tokenize_sensitive("Müller's Café") == ["Müller's", "Café"]
+
+
+def test_insensitive_level_folds_case_and_accents(ucorp):
+    # i-level: Café == cafe == CAFÉ == café
+    assert spans(ucorp.find_cql('[word="cafe"]')) == [
+        (0, 1, 2), (1, 1, 2), (2, 0, 1), (2, 4, 5)
+    ]
+    # pattern WITH accents also folds before matching the folded layer
+    assert spans(ucorp.find_cql('[word="café"]')) == [
+        (0, 1, 2), (1, 1, 2), (2, 0, 1), (2, 4, 5)
+    ]
+    assert spans(ucorp.find_cql('[word="Café"]')) == [
+        (0, 1, 2), (1, 1, 2), (2, 0, 1), (2, 4, 5)
+    ]
+
+
+def test_ci_level_keeps_accents(ucorp):
+    # ci: case folds, diacritics distinguish
+    assert spans(ucorp.find_cql('[word_ci="café"]')) == [
+        (0, 1, 2), (2, 0, 1), (2, 4, 5)
+    ]
+    assert spans(ucorp.find_cql('[word_ci="cafe"]')) == [(1, 1, 2)]
+
+
+def test_di_level_keeps_case(ucorp):
+    # di: diacritics fold, case distinguishes
+    assert spans(ucorp.find_cql('[word_di="Cafe"]')) == [(0, 1, 2)]
+    assert spans(ucorp.find_cql('[word_di="Café"]')) == [(0, 1, 2)]
+    assert spans(ucorp.find_cql('[word_di="cafe"]')) == [(1, 1, 2), (2, 4, 5)]
+    assert spans(ucorp.find_cql('[word_di="CAFE"]')) == [(2, 0, 1)]
+
+
+def test_s_level_exact(ucorp):
+    assert spans(ucorp.find_cql('[word_s="Café"]')) == [(0, 1, 2)]
+    assert spans(ucorp.find_cql('[word_s="café"]')) == [(2, 4, 5)]
+    assert spans(ucorp.find_cql('[word="(?c)CAFÉ"]')) == [(2, 0, 1)]
+
+
+def test_insensitive_regex_is_desensitized(ucorp):
+    # ADVICE r3: a regex with uppercase on an insensitive layer must not
+    # silently match nothing
+    assert spans(ucorp.find_cql('[word="Caf.*"]')) == spans(
+        ucorp.find_cql('[word="caf.*"]')
+    )
+    assert len(spans(ucorp.find_cql('[word="Caf.*"]'))) == 4
+
+
+def test_apostrophe_token(ucorp):
+    assert spans(ucorp.find_cql('[word="müller\'s"]')) == [(3, 0, 1)]
+    # folded: muller's finds Müller's
+    assert spans(ucorp.find_cql('[word="muller\'s"]')) == [(3, 0, 1)]
+
+
+def test_tri_engine_token_class_agreement_bmp():
+    """Python [^\\W_] == RE2 [\\p{L}\\p{N}] over the BMP (exhaustive), minus
+    a pinned skew list for codepoints newer Unicode tables added."""
+    import re as _re
+
+    import duckdb
+
+    con = duckdb.connect()
+    cps = [i for i in range(1, 0x10000) if not (0xD800 <= i <= 0xDFFF)]
+    con.execute("CREATE TEMP TABLE cp AS SELECT unnest(?) AS i", [cps])
+    duck = dict(
+        con.execute(
+            "SELECT i, regexp_matches(chr(i), '^[\\p{L}\\p{N}]$') FROM cp"
+        ).fetchall()
+    )
+    py = _re.compile(r"[^\W_]")
+    mism = [i for i in cps if bool(py.fullmatch(chr(i))) != bool(duck[i])]
+    assert mism == [], f"BMP token-class skew vs RE2: {[hex(i) for i in mism[:10]]}"
+
+
+def test_fold_map_locked_across_python_and_duckdb():
+    import duckdb
+
+    from blacklab_spark.tokenizer import ACCENT_FROM, ACCENT_TO, fold_accents
+
+    con = duckdb.connect()
+    got = con.execute(
+        "SELECT translate(?, ?, ?)", [ACCENT_FROM, ACCENT_FROM, ACCENT_TO]
+    ).fetchone()[0]
+    assert got == fold_accents(ACCENT_FROM) == ACCENT_TO
