@@ -128,6 +128,12 @@ class RelNode:             # A -reltype-> B  /  ^--> B (root relation)
 
 
 @dataclass(frozen=True)
+class RspanNode:           # rspan(relquery, 'mode') — RelationInfo.SpanMode
+    node: object           # must compile to spans carrying c_source_*/c_target_*
+    mode: str              # 'source' | 'target' | 'full' | 'all'
+
+
+@dataclass(frozen=True)
 class Constraint:         # lhs/rhs: ("cap", label) or ("lit", value)
     lhs: tuple
     rhs: tuple
@@ -153,7 +159,9 @@ _TOKEN_RE = re.compile(
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
     | (?P<amp>&) | (?P<pipe>\|) | (?P<neq>!=) | (?P<eq>=) | (?P<dot>\.)
     | (?P<str>"(?:[^"\\]|\\.)*")
+    | (?P<sqstr>'[A-Za-z]*')
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+    | (?P<comma>,)
     | (?P<colon>:)
     )""",
     re.X,
@@ -299,10 +307,18 @@ class _Parser:
             return Unit(Lookahead(inner, neg), 1, 1, None)
         return self.unit()
 
+    def _peek2(self, kind):
+        if self.i + 1 >= len(self.toks):
+            return None
+        k, v = self.toks[self.i + 1]
+        return (k, v) if k == kind else None
+
     # unit := (label ':')? atom quant?
     def unit(self) -> Unit:
         label = None
-        if self.peek("ident"):
+        # an ident is a capture label only when followed by ':' — otherwise
+        # it is a function-style atom (rspan(...))
+        if self.peek("ident") and self._peek2("colon"):
             label = self.eat("ident")
             self.eat("colon")
         node = self.atom()
@@ -328,8 +344,23 @@ class _Parser:
             raise ValueError(f"bad quantifier {{{m},{n}}}")
         return Unit(node, m, n, label)
 
-    # atom := '[' tokexpr? ']' | STR | '(' seq ')'
+    # atom := '[' tokexpr? ']' | STR | '(' seq ')' | rspan '(' relquery ',' MODE ')'
     def atom(self):
+        if self.peek("ident") and self.peek("ident")[1] == "rspan":
+            # rspan(A -rel-> B, 'mode') — adjust the relation match's span
+            # (cql.jj relation functions; RelationInfo.SpanMode:83-96)
+            self.eat("ident")
+            self.eat("lpar")
+            inner = self.relquery()
+            self.eat("comma")
+            if self.peek("sqstr"):
+                mode = self.eat("sqstr")[1:-1]
+            else:
+                mode = self.eat("ident")
+            self.eat("rpar")
+            if mode not in ("source", "target", "full", "all"):
+                raise ValueError(f"unknown rspan mode {mode!r}")
+            return RspanNode(inner, mode)
         if self.peek("lbrack"):
             self.eat("lbrack")
             if self.peek("rbrack"):
@@ -585,6 +616,35 @@ class CqlCompiler:
                 None if node.tgt is None else self.compile(node.tgt).select(*SPAN_COLS),
                 rel_type=node.rel_type or ".*",
                 direction="root" if node.root else "both",
+            )
+        if isinstance(node, RspanNode):
+            from blacklab_spark.operators.relations import rspan_all
+
+            df = self.compile(node.node)
+            need = {"c_source_s", "c_source_e", "c_target_s", "c_target_e"}
+            if not need <= set(df.columns):
+                raise ValueError(
+                    "rspan() needs a relation match (c_source_*/c_target_* "
+                    "capture columns)"
+                )
+            if node.mode == "all":
+                return rspan_all(df)
+            if node.mode == "source":
+                df = df.filter(F.col("c_source_s") != -1)
+                s, e = F.col("c_source_s"), F.col("c_source_e")
+            elif node.mode == "target":
+                s, e = F.col("c_target_s"), F.col("c_target_e")
+            else:  # full envelope; root (src == -1) = the target span
+                s = F.when(
+                    F.col("c_source_s") == -1, F.col("c_target_s")
+                ).otherwise(F.least("c_source_s", "c_target_s"))
+                e = F.when(
+                    F.col("c_source_s") == -1, F.col("c_target_e")
+                ).otherwise(F.greatest("c_source_e", "c_target_e"))
+            keep = [c for c in df.columns if c not in ("doc_id", "start", "end")]
+            return df.select(
+                "doc_id", s.cast("int").alias("start"),
+                e.cast("int").alias("end"), *keep,
             )
         if isinstance(node, Lookahead):
             raise ValueError("a lookahead needs a preceding clause in a sequence")

@@ -30,6 +30,7 @@ from blacklab_spark.plans.cql import (
     Lookahead,
     PosFilterNode,
     RelNode,
+    RspanNode,
     SeqNode,
     Unit,
 )
@@ -113,6 +114,11 @@ def rewrite(node):
             if s is node.src and t is node.tgt:
                 return node
             node = RelNode(s, node.rel_type, t, node.root)
+        elif isinstance(node, RspanNode):
+            inner = rewrite(node.node)
+            if inner is node.node:
+                return node
+            node = RspanNode(inner, node.mode)
         elif isinstance(node, tuple) and node and node[0] in ("alt", "and"):
             alts = tuple(rewrite(a) for a in node[1])
             if all(a is b for a, b in zip(alts, node[1])):

@@ -116,3 +116,26 @@ def test_rel_query_without_relations_table_raises(spark, tmp_root):
     build_index(spark, spark.createDataFrame(pdf), path, block_size=4)
     with pytest.raises(ValueError, match="relations"):
         Corpus(spark, path).find_cql('[] --> []')
+
+
+def test_rspan_grammar_modes(rcorp):
+    # rspan(A -rel-> B, 'mode') — RelationInfo.SpanMode via the BCQL surface
+    # (cql.jj relation functions; previously API-only, r4 grammar support)
+    full = spans(rcorp.find_cql("rspan([] -det-> [], 'full')"))
+    assert full == spans(rcorp.rel_find("det", span_mode="full"))
+    src = spans(rcorp.find_cql("rspan([] -det-> [], 'source')"))
+    assert src == spans(rcorp.rel_find("det", span_mode="source"))
+    tgt = spans(rcorp.find_cql("rspan([] -det-> [], target)"))  # bare ident ok
+    assert tgt == spans(rcorp.rel_find("det", span_mode="target"))
+    # 'all' covers source+target+match envelope
+    al = spans(rcorp.find_cql("rspan([] -nsubj-> [], 'all')"))
+    assert al == spans(
+        __import__("blacklab_spark.operators.relations",
+                   fromlist=["rspan_all"]).rspan_all(rcorp.rel_find("nsubj"))
+    )
+
+
+def test_rspan_requires_relation_match(rcorp):
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="rspan"):
+        rcorp.find_cql("rspan([word=\"the\"], 'full')")
