@@ -409,6 +409,161 @@ class Corpus:
             ).alias("positions")
         )
 
+    # key packing for the positions-chain kernel: within one doc-range
+    # partition, key = (doc_id - lo) * 2^33 + (start + 2^32). Safe while
+    # (n_docs / shuffle.partitions) < 2^30 — at 10^12 docs a cluster run
+    # sets spark.sql.shuffle.partitions >= ~10^4, keeping rel-doc < 10^8.
+    _PC_DOC_MULT = np.int64(1) << 33
+    _PC_POS_BIAS = np.int64(1) << 32
+
+    def positions_chain(
+        self, clauses: list[tuple[list[str], int]], with_dl: bool = False
+    ) -> DataFrame:
+        """Fixed-gap sequence run [(terms, offset)] → (doc_id, positions)
+        in run-start coordinates — the array-domain chain WITHOUT the
+        per-clause join: ONE doc-range shuffle of the clauses' COMPRESSED
+        posting blocks, then a partition-local numpy decode + sorted-key
+        intersect, rarest clause first. Later clauses skip whole blocks whose
+        [first_doc_id, last_doc_id] window holds no surviving candidate doc
+        (the score_range_and discipline applied to positions), so a
+        stop-word clause anchored by a rare clause decodes almost nothing.
+        vs the join formulation: the shuffle moves varint bytes instead of
+        decoded int64 position arrays, and the hash joins disappear.
+        Reference analog: SpansSequence over per-segment postings
+        (SpanQuerySequence.java) with ClauseCombinerNfa's rarest-first
+        ordering."""
+        infos = []
+        all_tids: set[int] = set()
+        for terms, off in clauses:
+            ti = self.lookup_terms(terms)
+            tids = [int(t) for t in ti["term_id"]]
+            if not tids:  # a vocab-miss clause empties the whole chain
+                return self.spark.createDataFrame(
+                    [],
+                    "doc_id long, positions array<long>"
+                    + (", dl int" if with_dl else ""),
+                )
+            infos.append((int(ti["df"].sum()), tids, int(off)))
+            all_tids.update(tids)
+        infos.sort(key=lambda t: (t[0], t[2]))
+        n_ranges = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
+        R = max(1, -(-self.n_docs // n_ranges))
+        DOC_MULT, POS_BIAS = self._PC_DOC_MULT, self._PC_POS_BIAS
+        if R >= int(DOC_MULT >> 3):
+            raise ValueError(
+                "positions_chain: docs-per-range too large for key packing; "
+                "raise spark.sql.shuffle.partitions"
+            )
+        clause_tids = [tids for _, tids, _ in infos]
+        clause_offs = [off for _, _, off in infos]
+
+        blocks = self.postings.filter(
+            F.col("term_id").isin(sorted(all_tids))
+        ).select(
+            "term_id", "first_doc_id", "last_doc_id",
+            "doc_gaps", "tfs", "dls", "positions",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col("first_doc_id") / F.lit(R)),
+                    F.floor(F.col("last_doc_id") / F.lit(R)),
+                )
+            ).alias("rng"),
+        )
+        empty_pdf = pd.DataFrame({
+            "doc_id": pd.Series(dtype="int64"),
+            "positions": pd.Series(dtype="object"),
+            **({"dl": pd.Series(dtype="int32")} if with_dl else {}),
+        })
+
+        def chain_range(pdf: pd.DataFrame) -> pd.DataFrame:
+            rng = int(pdf["rng"].iloc[0])
+            lo, hi = rng * R, (rng + 1) * R
+            by_tid = {int(tid): g for tid, g in pdf.groupby("term_id")}
+
+            def member(cands, d):
+                idx = np.searchsorted(cands, d)
+                m = idx < cands.size
+                m &= np.where(m, cands[np.minimum(idx, cands.size - 1)] == d, False)
+                return m
+
+            running = None
+            dl_docs, dl_vals = [], []  # exact dl, collected on the first clause
+            for ci, tids in enumerate(clause_tids):
+                off = clause_offs[ci]
+                cand = None
+                if running is not None:
+                    if running.size == 0:
+                        return empty_pdf
+                    cand = lo + np.unique(running // DOC_MULT)
+                parts = []
+                for tid in tids:
+                    g = by_tid.get(tid)
+                    if g is None:
+                        continue
+                    if cand is not None:
+                        fi = g["first_doc_id"].to_numpy()
+                        la = g["last_doc_id"].to_numpy()
+                        li = np.searchsorted(cand, fi)
+                        keep = li < cand.size
+                        keep &= np.where(
+                            keep, cand[np.minimum(li, cand.size - 1)] <= la, False
+                        )
+                        g = g[keep]
+                        if len(g) == 0:
+                            continue
+                    for row in g.itertuples():
+                        d, t, l = codecs.decode_block({
+                            "first_doc_id": row.first_doc_id,
+                            "doc_gaps": row.doc_gaps,
+                            "tfs": row.tfs,
+                            "dls": row.dls,
+                        })
+                        m = (d >= lo) & (d < hi)
+                        if cand is not None:
+                            m &= member(cand, d)
+                        if not m.any():
+                            continue
+                        if with_dl and ci == 0:
+                            dl_docs.append((d - lo)[m])
+                            dl_vals.append(l[m])
+                        vals = codecs.decode_positions(row.positions, t)
+                        pm = np.repeat(m, t)
+                        rel = np.repeat(d - lo, t)[pm]
+                        parts.append(
+                            rel * DOC_MULT + (vals[pm] - off + POS_BIAS)
+                        )
+                if not parts:
+                    return empty_pdf
+                keys = np.concatenate(parts)
+                # multi-term clauses (regex expansions, synonyms) can repeat
+                # a (doc, position); unique also sorts for the intersect
+                keys = np.unique(keys)
+                running = keys if running is None else np.intersect1d(
+                    running, keys, assume_unique=True
+                )
+                if running.size == 0:
+                    return empty_pdf
+            doc_rel = running // DOC_MULT
+            start = (running - doc_rel * DOC_MULT) - POS_BIAS
+            ud, idx = np.unique(doc_rel, return_index=True)
+            out = {
+                "doc_id": (ud + lo).astype("int64"),
+                "positions": np.split(start.astype("int64"), idx[1:]),
+            }
+            if with_dl:
+                dd = np.concatenate(dl_docs)
+                ll = np.concatenate(dl_vals)
+                srt = np.argsort(dd)
+                dd, ll = dd[srt], ll[srt]
+                out["dl"] = ll[np.searchsorted(dd, ud)].astype("int32")
+            return pd.DataFrame(out)
+
+        return blocks.groupBy("rng").applyInPandas(
+            chain_range,
+            schema="doc_id long, positions array<long>"
+            + (", dl int" if with_dl else ""),
+        )
+
     def spans_seq_terms(
         self, term_a: str, term_b: str, gap_min: int = 0, gap_max: int = 0
     ) -> DataFrame:
@@ -804,31 +959,14 @@ class Corpus:
         idf_sum = float(idf_sum)
         avgdl = self.avgdl
 
-        # decode each DISTINCT term once; reuse for duplicate slots
-        decoded = self._decoded_positions(tinfo)
-        by_term = {
-            t: decoded.filter(F.col("term_id") == int(info_by_term[t].term_id))
-            for t in set(terms)
-        }
-        # rarest-first join order over (slot, term)
-        order = sorted(range(len(terms)), key=lambda i: int(info_by_term[terms[i]].df))
-        acc = None
-        for i in order:
-            shifted = by_term[terms[i]].select(
-                "doc_id",
-                "dl",
-                F.transform("positions", lambda x: x - F.lit(i)).alias("p"),
-            )
-            if acc is None:
-                acc = shifted.withColumnRenamed("p", "cand")
-            else:
-                acc = (
-                    acc.join(shifted.drop("dl"), "doc_id")
-                    .withColumn("cand", F.array_intersect("cand", "p"))
-                    .filter(F.size("cand") > 0)
-                    .drop("p")
-                )
-        ptf = acc.select("doc_id", "dl", F.size("cand").alias("tf"))
+        # r4: the doc-range co-located chain kernel — one shuffle of the
+        # phrase terms' compressed blocks, partition-local rarest-first
+        # intersect with candidate block skipping; replaces the per-slot
+        # array_intersect JOINs (which shuffled decoded position arrays)
+        chain = self.positions_chain(
+            [([t], i) for i, t in enumerate(terms)], with_dl=True
+        )
+        ptf = chain.select("doc_id", "dl", F.size("positions").alias("tf"))
         # closed-form BM25 expression, op-ordered to match scoring.bm25 bitwise
         norm = F.lit(scoring.K1) * (
             F.lit(1.0 - scoring.B)

@@ -38,6 +38,7 @@ expand into OR-alternatives (EmptyClauseAlts rewrite,
 
 from __future__ import annotations
 
+import os
 import re
 from dataclasses import dataclass, field
 
@@ -515,6 +516,11 @@ class CqlCompiler:
         m = _SENS_FLAG.match(pattern)
         if m:
             pattern = pattern[m.end():]
+            # (?c)/(?-i) = fully sensitive: route to the BASE annotation's
+            # _s layer, also from its _ci/_di sibling levels
+            for suf in ("_ci", "_di"):
+                if annot.endswith(suf):
+                    annot = annot[: -len(suf)]
             if not annot.endswith("_s"):
                 annot = annot + "_s"
             if annot not in self.layers:
@@ -800,11 +806,29 @@ class CqlCompiler:
         "the" "of" "and" no longer intersects its two biggest arrays first.
         Layers may differ across the run: annotation layers are
         position-aligned by construction (annotated.build_annotated_index)."""
+        annots = {annot for annot, _, _ in run}
+        if (
+            len(annots) == 1
+            and len(run) > 1
+            and hasattr(self._layer(next(iter(annots))), "positions_chain")
+            and os.environ.get("BLACKLAB_SEQ_KERNEL") != "join"
+        ):
+            # single-layer run: the doc-range co-located kernel — one shuffle
+            # of compressed blocks, partition-local rarest-first intersect
+            # with candidate block skipping (no per-clause join at all)
+            return self._layer(next(iter(annots))).positions_chain(
+                [(terms, off) for _, terms, off in run]
+            )
         infos = []
         for annot, terms, off in run:
             ti = self._layer(annot).lookup_terms(terms)
             infos.append((int(ti["df"].sum()) if len(ti) else 0, annot, terms, off))
-        infos.sort(key=lambda t: (t[0], t[3]))
+        # BLACKLAB_SEQ_ORDER=left restores the pre-r4 left-to-right order —
+        # kept ONLY as the A/B baseline for benchmark evidence
+        if os.environ.get("BLACKLAB_SEQ_ORDER") == "left":
+            infos.sort(key=lambda t: t[3])
+        else:
+            infos.sort(key=lambda t: (t[0], t[3]))
         acc_p = None
         for _, annot, terms, off in infos:
             p = self._layer(annot).positions_of_terms(terms)

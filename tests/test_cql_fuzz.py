@@ -180,3 +180,113 @@ def test_cql_fuzz_matches_naive_evaluator(fuzz_idx, q):
         for r in c.find_cql(q).select("doc_id", "start", "end").collect()
     }
     assert got == expected, q
+
+
+# --------------- r4: sensitivity-layer fuzz (4-level routing) ---------------
+# The naive side mirrors the compiler's routing CONTRACT (flag strip → _s;
+# desensitize unless _s/_di; fold for folded layers) using the compiler's own
+# pattern transforms, then fullmatches against per-layer token values — so a
+# mismatch implicates layer derivation, routing, or the span compiler.
+
+SENS_VOCAB = ["Café", "café", "cafe", "CAFE", "Müller", "muller", "the", "Thé"]
+
+_sens_texts = [
+    "Café the muller", "cafe Thé CAFE", "Müller café the",
+    "the the Café cafe", "Thé Müller CAFE muller",
+]
+
+
+@pytest.fixture(scope="module")
+def sens_fuzz_idx(spark, tmp_root):
+    import pandas as pd
+
+    from blacklab_spark.annotated import AnnotatedCorpus, build_sensitivity_index
+    from blacklab_spark.tokenizer import fold_accents, tokenize_sensitive
+
+    rows = [
+        ("conv-f", i, tokenize_sensitive(t)) for i, t in enumerate(_sens_texts)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "word_s"])
+    root = f"{tmp_root}/sens_fuzz_idx"
+    build_sensitivity_index(spark, spark.createDataFrame(pdf), root, block_size=4)
+    layers = {}
+    for i, t in enumerate(_sens_texts):
+        raw = tokenize_sensitive(t)
+        layers[i] = [
+            {
+                "word": fold_accents(w.lower()),
+                "word_ci": w.lower(),
+                "word_di": fold_accents(w),
+                "word_s": w,
+            }
+            for w in raw
+        ]
+    return AnnotatedCorpus(spark, root), layers
+
+
+_sens_annot = st.sampled_from(["word", "word_ci", "word_di", "word_s"])
+_sens_pat = st.sampled_from(
+    [f"{w}" for w in SENS_VOCAB]
+    + ["caf.*", "Caf.*", ".*é.*", "[Mm]üller", "(?c)Café", "(?-i)CAFE", "th.*"]
+)
+_sens_clause = st.builds(lambda a, p: f'[{a}="{p}"]', _sens_annot, _sens_pat)
+_sens_query = st.one_of(
+    _sens_clause,
+    st.builds(lambda a, b: f"{a} {b}", _sens_clause, _sens_clause),
+)
+
+
+def _naive_sens_eval(query, layers):
+    from blacklab_spark.plans.cql import (
+        _SENS_FLAG,
+        _desensitize_pattern,
+        _fold_pattern,
+    )
+
+    node = parse_cql(query)
+    folded = {"word", "word_di"}
+
+    def clause_match(expr, posdict):
+        assert isinstance(expr, TokClause)
+        annot, pat = expr.annot, expr.pattern
+        m = _SENS_FLAG.match(pat)
+        if m:
+            pat = pat[m.end():]
+            for suf in ("_ci", "_di"):
+                if annot.endswith(suf):
+                    annot = annot[: -len(suf)]
+            if not annot.endswith("_s"):
+                annot = annot + "_s"
+        elif not annot.endswith("_s") and not annot.endswith("_di"):
+            pat = _desensitize_pattern(pat)
+        if annot in folded:
+            pat = _fold_pattern(pat)
+        hit = re.fullmatch(pat, posdict[annot]) is not None
+        return hit != expr.negate
+
+    out = set()
+    for doc_id, toks in layers.items():
+        units = node.units if isinstance(node, SeqNode) else (node,)
+        width = len(units)
+        for s in range(len(toks) - width + 1):
+            ok = True
+            for j, u in enumerate(units):
+                un = u.node if hasattr(u, "node") else u
+                if not clause_match(un.expr, toks[s + j]):
+                    ok = False
+                    break
+            if ok:
+                out.add((doc_id, s, s + width))
+    return out
+
+
+@settings(max_examples=25, deadline=None)
+@given(q=_sens_query)
+def test_sensitivity_fuzz_matches_naive(sens_fuzz_idx, q):
+    ac, layers = sens_fuzz_idx
+    expected = _naive_sens_eval(q, layers)
+    got = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in ac.find_cql(q).select("doc_id", "start", "end").collect()
+    }
+    assert got == expected, q

@@ -104,3 +104,47 @@ def test_fuzzy_terms(spark, docs):
     assert got == ["a", "b", "c"]
     got0 = sorted(r["term"] for r in S.fuzzy_terms(td, "a", 0).collect())
     assert got0 == ["a"]
+
+
+def test_positions_chain_matches_join_path(spark, tmp_root):
+    # the r4 doc-range chain kernel must equal the join formulation
+    # exactly — spans, phrase freqs, and dl side-channel
+    import pandas as pd
+
+    from blacklab_spark.build import build_index
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.datagen import fixture_corpus
+
+    path = f"{tmp_root}/pchain_idx"
+    build_index(spark, spark.createDataFrame(fixture_corpus()), path, block_size=3)
+    c = Corpus(spark, path)
+
+    cases = [
+        [(["the"], 0), (["quick"], 1)],
+        [(["the"], 0), (["fox"], 2)],              # fixed gap 1
+        [(["the"], 0), (["quick", "fox"], 1)],     # multi-term clause
+        [(["zzzmissing"], 0), (["the"], 1)],       # vocab miss -> empty
+        [(["the"], 0), (["the"], 1), (["the"], 2)],
+    ]
+    for clauses in cases:
+        kernel = {
+            (r["doc_id"], tuple(r["positions"]))
+            for r in c.positions_chain(clauses).collect()
+        }
+        # join path: intersect shifted per-doc arrays
+        acc = None
+        from blacklab_spark.operators import spans as S
+        for terms, off in clauses:
+            p = c.positions_of_terms(terms)
+            acc = p if acc is None else S.seq_positions_extend(acc, p, off)
+        join = {
+            (r["doc_id"], tuple(r["positions"]))
+            for r in (acc.collect() if acc is not None else [])
+        }
+        assert kernel == join, clauses
+
+    # dl side-channel matches the docs table
+    chain = c.positions_chain([(["the"], 0), (["quick"], 1)], with_dl=True)
+    dls = {r["doc_id"]: r["dl"] for r in c.doc_lengths().collect()}
+    for r in chain.collect():
+        assert r["dl"] == dls[r["doc_id"]]
