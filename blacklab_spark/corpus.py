@@ -417,7 +417,10 @@ class Corpus:
     _PC_POS_BIAS = np.int64(1) << 32
 
     def positions_chain(
-        self, clauses: list[tuple[list[str], int]], with_dl: bool = False
+        self,
+        clauses: list[tuple[list[str], int]],
+        with_dl: bool = False,
+        vargap_tail: tuple[list[str], int, int, int] | None = None,
     ) -> DataFrame:
         """Fixed-gap sequence run [(terms, offset)] → (doc_id, positions)
         in run-start coordinates — the array-domain chain WITHOUT the
@@ -431,21 +434,39 @@ class Corpus:
         decoded int64 position arrays, and the hash joins disappear.
         Reference analog: SpansSequence over per-segment postings
         (SpanQuerySequence.java) with ClauseCombinerNfa's rarest-first
-        ordering."""
+        ordering.
+
+        `vargap_tail=(terms, width, gap_min, gap_max)` appends a VARIABLE-
+        finite-gap clause inside the SAME kernel pass — one extra intersect
+        per gap value — and switches the output to spans (doc_id, start,
+        end): the `run []{m,n} clause` shape without ever materializing the
+        prefix outside the partition."""
+        if vargap_tail is not None:
+            out_schema = "doc_id long, start int, end int"
+        else:
+            out_schema = (
+                "doc_id long, positions array<long>"
+                + (", dl int" if with_dl else "")
+            )
         infos = []
         all_tids: set[int] = set()
         for terms, off in clauses:
             ti = self.lookup_terms(terms)
             tids = [int(t) for t in ti["term_id"]]
             if not tids:  # a vocab-miss clause empties the whole chain
-                return self.spark.createDataFrame(
-                    [],
-                    "doc_id long, positions array<long>"
-                    + (", dl int" if with_dl else ""),
-                )
+                return self.spark.createDataFrame([], out_schema)
             infos.append((int(ti["df"].sum()), tids, int(off)))
             all_tids.update(tids)
         infos.sort(key=lambda t: (t[0], t[2]))
+        tail_tids: list[int] = []
+        shifts: list[int] = []
+        if vargap_tail is not None:
+            t_terms, t_width, t_gmin, t_gmax = vargap_tail
+            tti = self.lookup_terms(t_terms)
+            tail_tids = [int(t) for t in tti["term_id"]]
+            if not tail_tids:
+                return self.spark.createDataFrame([], out_schema)
+            shifts = [t_width + g for g in range(t_gmin, t_gmax + 1)]
         n_ranges = int(self.spark.conf.get("spark.sql.shuffle.partitions", "32"))
         R = max(1, -(-self.n_docs // n_ranges))
         DOC_MULT, POS_BIAS = self._PC_DOC_MULT, self._PC_POS_BIAS
@@ -457,28 +478,46 @@ class Corpus:
         clause_tids = [tids for _, tids, _ in infos]
         clause_offs = [off for _, _, off in infos]
 
-        blocks = self.postings.filter(
-            F.col("term_id").isin(sorted(all_tids))
-        ).select(
-            "term_id", "first_doc_id", "last_doc_id",
-            "doc_gaps", "tfs", "dls", "positions",
-            F.explode(
-                F.sequence(
-                    F.floor(F.col("first_doc_id") / F.lit(R)),
-                    F.floor(F.col("last_doc_id") / F.lit(R)),
-                )
-            ).alias("rng"),
-        )
-        empty_pdf = pd.DataFrame({
-            "doc_id": pd.Series(dtype="int64"),
-            "positions": pd.Series(dtype="object"),
-            **({"dl": pd.Series(dtype="int32")} if with_dl else {}),
-        })
+        def _blocks(tids, role):
+            return self.postings.filter(
+                F.col("term_id").isin(sorted(tids))
+            ).select(
+                "term_id", "first_doc_id", "last_doc_id",
+                "doc_gaps", "tfs", "dls", "positions",
+                F.explode(
+                    F.sequence(
+                        F.floor(F.col("first_doc_id") / F.lit(R)),
+                        F.floor(F.col("last_doc_id") / F.lit(R)),
+                    )
+                ).alias("rng"),
+                F.lit(role).alias("role"),
+            )
+
+        blocks = _blocks(all_tids, 0)
+        if tail_tids:
+            # a term can serve both a prefix clause AND the tail — emit its
+            # blocks once per role
+            blocks = blocks.unionByName(_blocks(tail_tids, 1))
+        if vargap_tail is not None:
+            empty_pdf = pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "start": pd.Series(dtype="int32"),
+                "end": pd.Series(dtype="int32"),
+            })
+        else:
+            empty_pdf = pd.DataFrame({
+                "doc_id": pd.Series(dtype="int64"),
+                "positions": pd.Series(dtype="object"),
+                **({"dl": pd.Series(dtype="int32")} if with_dl else {}),
+            })
 
         def chain_range(pdf: pd.DataFrame) -> pd.DataFrame:
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * R, (rng + 1) * R
-            by_tid = {int(tid): g for tid, g in pdf.groupby("term_id")}
+            by_tid = {
+                int(tid): g
+                for tid, g in pdf[pdf["role"] == 0].groupby("term_id")
+            }
 
             def member(cands, d):
                 idx = np.searchsorted(cands, d)
@@ -543,6 +582,56 @@ class Corpus:
                 )
                 if running.size == 0:
                     return empty_pdf
+            if vargap_tail is not None:
+                # the variable-gap tail, same decode + candidate skipping;
+                # one intersect per gap value, spans out
+                cand = lo + np.unique(running // DOC_MULT)
+                parts = []
+                for tid in tail_tids:
+                    g = tail_by_tid(pdf).get(tid)
+                    if g is None:
+                        continue
+                    fi = g["first_doc_id"].to_numpy()
+                    la = g["last_doc_id"].to_numpy()
+                    li = np.searchsorted(cand, fi)
+                    keep = li < cand.size
+                    keep &= np.where(
+                        keep, cand[np.minimum(li, cand.size - 1)] <= la, False
+                    )
+                    g = g[keep]
+                    for row in g.itertuples():
+                        d, t, _l = codecs.decode_block({
+                            "first_doc_id": row.first_doc_id,
+                            "doc_gaps": row.doc_gaps,
+                            "tfs": row.tfs,
+                            "dls": row.dls,
+                        })
+                        m = (d >= lo) & (d < hi) & member(cand, d)
+                        if not m.any():
+                            continue
+                        vals = codecs.decode_positions(row.positions, t)
+                        pm = np.repeat(m, t)
+                        rel = np.repeat(d - lo, t)[pm]
+                        parts.append(rel * DOC_MULT + vals[pm] + POS_BIAS)
+                if not parts:
+                    return empty_pdf
+                tail_keys = np.unique(np.concatenate(parts))
+                outs = []
+                for s in shifts:
+                    hit = np.intersect1d(
+                        running, tail_keys - s, assume_unique=True
+                    )
+                    if hit.size:
+                        doc_rel = hit // DOC_MULT
+                        st = (hit - doc_rel * DOC_MULT) - POS_BIAS
+                        outs.append(pd.DataFrame({
+                            "doc_id": (doc_rel + lo).astype("int64"),
+                            "start": st.astype("int32"),
+                            "end": (st + s + 1).astype("int32"),
+                        }))
+                if not outs:
+                    return empty_pdf
+                return pd.concat(outs, ignore_index=True)
             doc_rel = running // DOC_MULT
             start = (running - doc_rel * DOC_MULT) - POS_BIAS
             ud, idx = np.unique(doc_rel, return_index=True)
@@ -558,10 +647,28 @@ class Corpus:
                 out["dl"] = ll[np.searchsorted(dd, ud)].astype("int32")
             return pd.DataFrame(out)
 
-        return blocks.groupBy("rng").applyInPandas(
-            chain_range,
-            schema="doc_id long, positions array<long>"
-            + (", dl int" if with_dl else ""),
+        def tail_by_tid(pdf):
+            return {
+                int(tid): g
+                for tid, g in pdf[pdf["role"] == 1].groupby("term_id")
+            }
+
+        return blocks.groupBy("rng").applyInPandas(chain_range, schema=out_schema)
+
+    def spans_chain_vargap(
+        self,
+        clauses: list[tuple[list[str], int]],
+        width: int,
+        tail_terms: list[str],
+        gap_min: int,
+        gap_max: int,
+    ) -> DataFrame:
+        """`<fixed-gap run> []{gap_min,gap_max} <clause>` → spans
+        (doc_id, start, end): the whole chain INCLUDING the variable-gap
+        tail runs in one positions_chain kernel pass (no intermediate
+        materialization of the prefix)."""
+        return self.positions_chain(
+            clauses, vargap_tail=(tail_terms, width, gap_min, gap_max)
         )
 
     def spans_seq_terms(

@@ -935,7 +935,21 @@ class CqlCompiler:
                     continue
                 if gmax < UNBOUNDED:
                     # variable finite gap: fold the run rarest-first, then
-                    # one shift per gap value, spans out
+                    # one intersect per gap value, spans out — inside the
+                    # doc-range kernel when the whole chain is one layer
+                    run_annots = {a for a, _, _ in run}
+                    layer = self._layer(annot)
+                    if (
+                        run_annots == {annot}
+                        and hasattr(layer, "spans_chain_vargap")
+                        and os.environ.get("BLACKLAB_SEQ_KERNEL") != "join"
+                    ):
+                        acc = layer.spans_chain_vargap(
+                            [(t, off) for _, t, off in run],
+                            run_width, terms, gmin, gmax,
+                        )
+                        run, run_width = [], 0
+                        continue
                     apdf, w = self._run_positions(run), run_width
                     run, run_width = [], 0
                     acc = S.seq_positions_pair(

@@ -148,3 +148,38 @@ def test_positions_chain_matches_join_path(spark, tmp_root):
     dls = {r["doc_id"]: r["dl"] for r in c.doc_lengths().collect()}
     for r in chain.collect():
         assert r["dl"] == dls[r["doc_id"]]
+
+
+def test_spans_chain_vargap_matches_join(spark, tmp_root):
+    # the variable-gap kernel tail must equal seq_positions_pair exactly
+    from blacklab_spark.build import build_index
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.datagen import fixture_corpus
+    from blacklab_spark.operators import spans as S
+
+    path = f"{tmp_root}/vgap_idx"
+    build_index(spark, spark.createDataFrame(fixture_corpus()), path, block_size=3)
+    c = Corpus(spark, path)
+
+    cases = [
+        ([(["the"], 0)], 1, ["fox"], 0, 2),
+        ([(["the"], 0), (["quick"], 1)], 2, ["fox"], 0, 1),
+        ([(["the"], 0)], 1, ["quick", "fox"], 1, 3),
+        ([(["the"], 0)], 1, ["zzzmissing"], 0, 2),
+    ]
+    for clauses, w, tail, gmin, gmax in cases:
+        kern = {
+            (r["doc_id"], r["start"], r["end"])
+            for r in c.spans_chain_vargap(clauses, w, tail, gmin, gmax).collect()
+        }
+        acc = None
+        for terms, off in clauses:
+            p = c.positions_of_terms(terms)
+            acc = p if acc is None else S.seq_positions_extend(acc, p, off)
+        join = {
+            (r["doc_id"], r["start"], r["end"])
+            for r in S.seq_positions_pair(
+                acc, w, c.positions_of_terms(tail), gmin, gmax
+            ).collect()
+        }
+        assert kern == join, (clauses, tail, gmin, gmax)
