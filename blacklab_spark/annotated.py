@@ -166,6 +166,24 @@ def _read_layers(root: str) -> tuple[list[str], list[str]]:
     return data["layers"], data.get("folded", [])
 
 
+def build_alignments(
+    spark: SparkSession,
+    rows: DataFrame,
+    root: str,
+) -> str:
+    """Store cross-field alignment relations (parallel corpora,
+    plan-parallel.md): rows must have operators.relations.ALIGN_COLS with
+    doc_id already in the word layer's docID space (or join via doc_map
+    before calling). Positions on each side are in that VERSION's token
+    space."""
+    from blacklab_spark.operators.relations import ALIGN_COLS
+
+    rows.select(*ALIGN_COLS).write.mode("overwrite").parquet(
+        os.path.join(root, "alignments")
+    )
+    return root
+
+
 class AnnotatedCorpus:
     """Query-side view over the per-annotation layer indexes."""
 
@@ -181,6 +199,28 @@ class AnnotatedCorpus:
     def relations(self) -> DataFrame | None:
         p = os.path.join(self.root, "relations")
         return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    @property
+    def alignments(self) -> DataFrame | None:
+        p = os.path.join(self.root, "alignments")
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    def align_find(
+        self,
+        source_spans: DataFrame,
+        target_field: str,
+        rel_type: str = ".*",
+        target_spans: DataFrame | None = None,
+    ) -> DataFrame:
+        """Cross-field alignment search (`A ==>v B`, SpansOtherFieldHits
+        analog) over the stored alignments table."""
+        from blacklab_spark.operators.relations import alignment_hits
+
+        al = self.alignments
+        if al is None:
+            raise ValueError("no alignments table: run build_alignments first")
+        return alignment_hits(al, source_spans, target_field, rel_type,
+                              target_spans)
 
     def rel_find(
         self,
@@ -224,7 +264,7 @@ class AnnotatedCorpus:
         def build():
             compiler = CqlCompiler(
                 self.word, layers=self.layers, relations=self.relations,
-                folded=self.folded,
+                folded=self.folded, alignments=self.alignments,
             )
             return compiler.compile(rewrite(parse_cql(query)))
 

@@ -166,3 +166,70 @@ def rspan_all(spans_with_rel_caps: DataFrame) -> DataFrame:
         s.cast("int").alias("start"), e.cast("int").alias("end"), *keep
     ).select("doc_id", "start", "end",
              *[c for c in keep if c != "doc_id"])
+
+
+# --------------------- parallel corpora (cross-field alignment) -------------
+# Reference: SpanQueryOtherFieldHits / SpansOtherFieldHits (engine/.../lucene/
+# SpansOtherFieldHits.java:10-21) and the `==>` alignment operator design
+# (doc/technical/design/archive/plan-parallel.md): one annotated field per
+# document VERSION (`word`, `word__de`, ...), alignment relations indexed as
+# cross-field rows. Spark-first, alignments are a table:
+#
+#     (doc_id, rel_type, src_start, src_end, tgt_field, tgt_start, tgt_end)
+#
+# where positions on each side are in THAT version's token space.
+
+ALIGN_COLS = [
+    "doc_id", "rel_type", "src_start", "src_end",
+    "tgt_field", "tgt_start", "tgt_end",
+]
+
+
+def alignment_hits(
+    alignments: DataFrame,
+    source_spans: DataFrame,
+    target_field: str,
+    rel_type: str = ".*",
+    target_spans: DataFrame | None = None,
+) -> DataFrame:
+    """`A ==>v B`: for each left hit, find the alignment relations (of the
+    matching type, pointing at `target_field`) whose SOURCE lies within the
+    hit; the right side is the ENVELOPE of the matching relations' targets
+    (plan-parallel.md "find all relations between two spans"). When
+    `target_spans` is given, only hits whose envelope CONTAINS at least one
+    right-side hit survive.
+
+    Output: the LEFT spans + c_target_s/e (envelope, target token space) +
+    n_rels. Physical shape: one doc-keyed equi-join + range filters + one
+    aggregation — hits-sized, never a cross product over positions."""
+    al = alignments.filter(
+        F.col("rel_type").rlike(f"^(?:{rel_type})$")
+        & (F.col("tgt_field") == target_field)
+    )
+    src = source_spans.select("doc_id", "start", "end")
+    j = src.join(al, "doc_id").filter(
+        (F.col("src_start") >= F.col("start"))
+        & (F.col("src_end") <= F.col("end"))
+    )
+    grouped = j.groupBy("doc_id", "start", "end").agg(
+        F.min("tgt_start").cast("int").alias("c_target_s"),
+        F.max("tgt_end").cast("int").alias("c_target_e"),
+        F.count("*").alias("n_rels"),
+    )
+    if target_spans is not None:
+        t = target_spans.select(
+            "doc_id",
+            F.col("start").alias("t_s"),
+            F.col("end").alias("t_e"),
+        )
+        grouped = (
+            grouped.alias("g")
+            .join(t.alias("t"), "doc_id")
+            .filter(
+                (F.col("t_s") >= F.col("c_target_s"))
+                & (F.col("t_e") <= F.col("c_target_e"))
+            )
+            .select("g.*")
+            .dropDuplicates(["doc_id", "start", "end"])
+        )
+    return grouped

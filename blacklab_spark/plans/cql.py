@@ -135,6 +135,14 @@ class RspanNode:           # rspan(relquery, 'mode') — RelationInfo.SpanMode
 
 
 @dataclass(frozen=True)
+class AlignNode:           # A =reltype=>version B — cross-field alignment
+    src: object            # left query (current field)
+    rel_type: str          # anchored regex over alignment relation types
+    version: str           # target field version suffix (word__<version>)
+    tgt: object | None     # right query in the TARGET field; None = `_`
+
+
+@dataclass(frozen=True)
 class Constraint:         # lhs/rhs: ("cap", label) or ("lit", value)
     lhs: tuple
     rhs: tuple
@@ -155,6 +163,7 @@ _TOKEN_RE = re.compile(
     | (?P<cons>::)
     | (?P<la>\(\?=) | (?P<lan>\(\?!)
     | (?P<rel>\^?-[A-Za-z0-9_.|*?+]*->)
+    | (?P<arel>=[A-Za-z0-9_.|*?+:]*=>[A-Za-z0-9_]*)
     | (?P<lbrack>\[) | (?P<rbrack>\]) | (?P<lpar>\() | (?P<rpar>\))
     | (?P<quant>\{\s*\d+\s*(?:,\s*\d*)?\s*\})
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
@@ -262,6 +271,21 @@ class _Parser:
             return RelNode(
                 self._wild(q), rtype, self._wild(self.boolean()), root=False
             )
+        if self.peek("arel"):
+            # A =reltype=>version B — parallel-corpus alignment operator
+            # (cql.jj ALIGNMENT_OP:106; plan-parallel.md `==>de`)
+            op = self.eat("arel")
+            rtype, version = op[1:].split("=>", 1)
+            if not version:
+                raise ValueError(
+                    "alignment operator needs a target version (e.g. ==>de)"
+                )
+            if self.peek("ident") and self.peek("ident")[1] == "_":
+                self.eat("ident")  # `_` = no right-side filter
+                tgt = None
+            else:
+                tgt = self._wild(self.boolean())
+            return AlignNode(q, rtype or ".*", version, tgt)
         return q
 
     def filtered(self):
@@ -481,15 +505,35 @@ class CqlCompiler:
 
     def __init__(self, corpus, max_expand: int = 1024, layers: dict | None = None,
                  relations: DataFrame | None = None,
-                 folded: set[str] | None = None):
+                 folded: set[str] | None = None,
+                 alignments: DataFrame | None = None):
         self.c = corpus
         self.max_expand = max_expand
         self.layers = layers or {"word": corpus}
         self.relations = relations  # (doc_id, rel_type, src_*, tgt_*) table
+        self.alignments = alignments  # cross-field rows (+ tgt_field col)
         # layers whose tokens are accent-FOLDED (i/di sensitivity levels):
         # patterns against them are folded too, like the reference
         # desensitizes the search string per target field
         self.folded = folded or set()
+
+    def _version_compiler(self, version: str) -> "CqlCompiler":
+        """A compiler over the TARGET version's fields: layer `word__de`
+        serves as that field's `word`, etc. (plan-parallel.md: one annotated
+        field per document version, names suffixed `__VERSION`)."""
+        suf = "__" + version
+        vl = {
+            n[: -len(suf)]: c for n, c in self.layers.items() if n.endswith(suf)
+        }
+        if "word" not in vl:
+            raise ValueError(
+                f"no fields for version {version!r} (expected a layer "
+                f"named word{suf})"
+            )
+        vf = {n[: -len(suf)] for n in self.folded if n.endswith(suf)}
+        return CqlCompiler(
+            vl["word"], self.max_expand, vl, relations=None, folded=vf
+        )
 
     # ---- leaves ----
     def _layer(self, annot: str):
@@ -622,6 +666,25 @@ class CqlCompiler:
                 None if node.tgt is None else self.compile(node.tgt).select(*SPAN_COLS),
                 rel_type=node.rel_type or ".*",
                 direction="root" if node.root else "both",
+            )
+        if isinstance(node, AlignNode):
+            from blacklab_spark.operators.relations import alignment_hits
+
+            if self.alignments is None:
+                raise ValueError(
+                    "alignment query on a corpus without an alignments "
+                    "table (build_alignments)"
+                )
+            src = self.compile(node.src).select(*SPAN_COLS)
+            tgt_spans = None
+            if node.tgt is not None:
+                tgt_spans = (
+                    self._version_compiler(node.version)
+                    .compile(node.tgt)
+                    .select(*SPAN_COLS)
+                )
+            return alignment_hits(
+                self.alignments, src, node.version, node.rel_type, tgt_spans
             )
         if isinstance(node, RspanNode):
             from blacklab_spark.operators.relations import rspan_all

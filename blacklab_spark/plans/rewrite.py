@@ -25,6 +25,7 @@ from __future__ import annotations
 
 from blacklab_spark.plans.cql import (
     UNBOUNDED,
+    AlignNode,
     AnyToken,
     ConstrainedNode,
     Lookahead,
@@ -119,6 +120,12 @@ def rewrite(node):
             if inner is node.node:
                 return node
             node = RspanNode(inner, node.mode)
+        elif isinstance(node, AlignNode):
+            s = rewrite(node.src)
+            t = None if node.tgt is None else rewrite(node.tgt)
+            if s is node.src and t is node.tgt:
+                return node
+            node = AlignNode(s, node.rel_type, node.version, t)
         elif isinstance(node, tuple) and node and node[0] in ("alt", "and"):
             alts = tuple(rewrite(a) for a in node[1])
             if all(a is b for a, b in zip(alts, node[1])):

@@ -139,3 +139,88 @@ def test_rspan_requires_relation_match(rcorp):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="rspan"):
         rcorp.find_cql("rspan([word=\"the\"], 'full')")
+
+
+# ------------------- parallel corpora (cross-field alignment) ---------------
+
+@pytest.fixture(scope="module")
+def pcorp(spark, tmp_root):
+    """Two-version parallel fixture (plan-parallel.md): field `word` = nl,
+    field `word__de` = de, word alignments nl→de with one reorder and one
+    unaligned token."""
+    import pandas as pd
+
+    from blacklab_spark.annotated import (
+        AnnotatedCorpus,
+        build_alignments,
+        build_annotated_index,
+    )
+
+    nl = [
+        ["als", "kat", "en", "hond"],
+        ["de", "kat", "slaapt"],
+        ["als", "muis", "en", "kat"],
+    ]
+    de = [
+        ["wie", "katze", "und", "hund"],
+        ["die", "katze", "schläft"],
+        ["wie", "maus", "und", "katze"],
+    ]
+    rows = [
+        ("conv-p", i, a, b) for i, (a, b) in enumerate(zip(nl, de))
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "word", "word__de"])
+    root = f"{tmp_root}/par_idx"
+    build_annotated_index(
+        spark, spark.createDataFrame(pdf), root,
+        {"word": "word", "word__de": "word__de"}, block_size=4,
+    )
+    # 1:1 positional word alignments nl→de
+    al = [
+        (d, "al", i, i + 1, "de", i, i + 1)
+        for d in range(3) for i in range(len(nl[d]))
+    ]
+    apdf = pd.DataFrame(al, columns=[
+        "doc_id", "rel_type", "src_start", "src_end",
+        "tgt_field", "tgt_start", "tgt_end",
+    ])
+    build_alignments(spark, spark.createDataFrame(apdf), root)
+    return AnnotatedCorpus(spark, root)
+
+
+def test_alignment_operator_envelope(pcorp):
+    # 'als [] en []' in nl, aligned envelope in de
+    out = pcorp.find_cql('"als" [] "en" [] ==>de _').collect()
+    got = {(r["doc_id"], r["start"], r["end"],
+            r["c_target_s"], r["c_target_e"], r["n_rels"]) for r in out}
+    assert got == {(0, 0, 4, 0, 4, 4), (2, 0, 4, 0, 4, 4)}
+
+
+def test_alignment_operator_with_target_filter(pcorp):
+    # right side must CONTAIN the de query: only doc 0 has 'hund'
+    out = pcorp.find_cql('"als" [] "en" [] ==>de "wie" [] "und" "hund"').collect()
+    assert {(r["doc_id"], r["start"], r["end"]) for r in out} == {(0, 0, 4)}
+    # de-side single word filter
+    out2 = pcorp.find_cql('"kat" ==>de "katze"').collect()
+    assert {(r["doc_id"], r["start"], r["end"]) for r in out2} == {
+        (0, 1, 2), (1, 1, 2), (2, 3, 4)
+    }
+    # a de-side filter that the envelope can NOT contain
+    assert pcorp.find_cql('"kat" ==>de "hund"').count() == 0
+
+
+def test_alignment_rel_type_and_errors(pcorp):
+    # rel-type filter that matches nothing
+    assert pcorp.find_cql('"kat" =xx=>de _').count() == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="target version"):
+        pcorp.find_cql('"kat" ==> _')
+    with _pytest.raises(ValueError, match="version"):
+        pcorp.find_cql('"kat" ==>fr "chat"')
+
+
+def test_alignment_api_direct(pcorp):
+    src = pcorp.layers["word"].spans_term("kat")
+    out = pcorp.align_find(src, "de").collect()
+    assert all(r["n_rels"] == 1 for r in out)
+    assert len(out) == 3  # kat in docs 0,1,2
