@@ -263,6 +263,43 @@ def _conllu_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
     return AnnotatedCorpus(spark, idx)
 
 
+def _parallel_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
+    """Parallel-corpus fixture (plan-parallel.md): the 'de' version of every
+    document is the token-wise REVERSE of each word (SQL-expressible in both
+    engines: reverse(x)), with 1:1 positional word alignments."""
+    from blacklab_spark.annotated import build_alignments
+
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_par_v1"
+    root = os.path.join(CACHE_ROOT, name)
+    d = _tokenized_docs(spark, sf_dir)
+    frame = d.select(
+        F.format_string("%012d", F.col("doc_id")).alias("conv_id"),
+        F.lit(0).alias("turn_idx"),
+        F.col("tokens").alias("word"),
+        F.expr("transform(tokens, x -> reverse(x))").alias("word__de"),
+    )
+    build_annotated_index(
+        spark, frame, root,
+        {"word": "word", "word__de": "word__de"}, resume=True,
+    )
+    if not os.path.exists(os.path.join(root, "alignments")):
+        word = AnnotatedCorpus(spark, root).layers["word"]
+        al = word.docs.select(
+            "doc_id",
+            F.posexplode("tokens").alias("i", "tok"),
+        ).select(
+            "doc_id",
+            F.lit("al").alias("rel_type"),
+            F.col("i").cast("int").alias("src_start"),
+            (F.col("i") + 1).cast("int").alias("src_end"),
+            F.lit("de").alias("tgt_field"),
+            F.col("i").cast("int").alias("tgt_start"),
+            (F.col("i") + 1).cast("int").alias("tgt_end"),
+        )
+        build_alignments(spark, al, root)
+    return AnnotatedCorpus(spark, root)
+
+
 def _chat_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
     """CHAT (.cha) ingest end-to-end (DocIndexerChat analog): render the
     first 30 non-empty documents as one deterministic CHAT transcript —
@@ -682,9 +719,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         return _to_orig(c, out, "pos", "left", "match", "right", "snippet")
 
     def hits_page(spark, sf_dir):
+        # r4 consolidation: Hits.window pagination + sorted-by-context-after
+        # in one tagged union (both orderings stay oracle-checked; page rows
+        # carry context='')
         c = _corpus(spark, sf_dir)
         h = _to_orig(c, _hits_from_index(c, TERM), "pos")
-        return grouping.hits_window(h, [F.asc("doc_id"), F.asc("pos")], 10, 10)
+        page = grouping.hits_window(
+            h, [F.asc("doc_id"), F.asc("pos")], 10, 10
+        ).select(
+            F.lit("page").alias("part"), "doc_id", "pos",
+            F.lit("").alias("context"),
+        )
+        eh = _hits_from_index(c, TERM)
+        joined = eh.join(c.docs.select("doc_id", "tokens"), "doc_id")
+        ctx = F.coalesce(
+            F.try_element_at("tokens", F.col("pos") + 2), F.lit("")
+        )
+        out = joined.select("doc_id", "pos", ctx.alias("context"))
+        after = _to_orig(c, out, "pos", "context").orderBy(
+            F.asc("context"), F.asc("doc_id"), F.asc("pos")
+        ).limit(25).select(
+            F.lit("after").alias("part"), "doc_id", "pos", "context"
+        )
+        return page.unionByName(after)
+
+    def parallel_align(spark, sf_dir):
+        # cross-field alignment (`==>`, SpanQueryOtherFieldHits): two probes
+        # over the reverse-token 'de' version — envelope-only, and with a
+        # right-side containment filter in the target field
+        ac = _parallel_corpus(spark, sf_dir)
+        cols = ["doc_id", "start", "end", "c_target_s", "c_target_e", "n_rels"]
+
+        def tag(q, t):
+            df = ac.find_cql(q)
+            df = _to_orig(ac.word, df, *[c for c in cols if c != "doc_id"])
+            return df.select(
+                F.lit(t).alias("variant"),
+                *[F.col(c).cast("long").alias(c) for c in cols],
+            )
+
+        return (
+            tag('"table" [] ==>de _', "pair_env")
+            .unionByName(tag('"table" ==>de "elbat"', "tgt_filtered"))
+        )
 
     def dedup_exact(spark, sf_dir):
         return dedup.dedup_exact(_load_documents(spark, sf_dir), "text", "doc_id")
@@ -745,20 +822,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def sessionization(spark, sf_dir):
         ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return grouping.sessionize(ev, gap_minutes=30)
-
-    def hits_sorted_by_after(spark, sf_dir):
-        # hits off the postings; context token off the forward index (tokens
-        # column); ONE final TakeOrderedAndProject on the composite key
-        c = _corpus(spark, sf_dir)
-        eh = _hits_from_index(c, TERM)
-        joined = eh.join(c.docs.select("doc_id", "tokens"), "doc_id")
-        ctx = F.coalesce(
-            F.try_element_at("tokens", F.col("pos") + 2), F.lit("")
-        )
-        out = joined.select("doc_id", "pos", ctx.alias("context"))
-        return _to_orig(c, out, "pos", "context").orderBy(
-            F.asc("context"), F.asc("doc_id"), F.asc("pos")
-        ).limit(25)
 
     def doc_results(spark, sf_dir):
         c = _corpus(spark, sf_dir)
@@ -1096,6 +1159,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   bm25_term_scores / bm25_or_scores / bm25_and_scores → bm25_scores
     #     (tagged union; all three scoring paths still oracle-checked)
     #   bm25_topk_term ⊂ bm25_scores + bm25_topk_or
+    #   hits_sorted_by_after → merged into hits_page (tagged union: 'page'
+    #     pagination part + 'after' sorted-by-context part)
     #   highlight      → merged into kwic (snippet column)
     #   term_freq      → merged into term_dict (dual-path inner join)
     #   token_count/quality/lang_id/fingerprint → textstats_suite (wide join)
@@ -1112,6 +1177,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bm25_scores": bm25_scores,      # merges term/or/and score entries
         "ann_lsh_checked": ann_lsh_checked,   # recall-gated, oracle-checked
         "ann_ivf_checked": ann_ivf_checked,
+        "parallel_align": parallel_align,     # ==> cross-field alignment
         # -- green in r3 -----------------------------------------------------
         "annot_lemma_pos": annot_lemma_pos,
         "annot_constraint": annot_constraint,
@@ -1140,7 +1206,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": events_hourly,
         "ngram_freq": ngram_freq,
         "sessionization": sessionization,
-        "hits_sorted_by_after": hits_sorted_by_after,
         "doc_results": doc_results,
         "autocomplete": autocomplete,
         "hits_group_composite": hits_group_composite,
@@ -1255,6 +1320,15 @@ FROM documents d LEFT JOIN f ON f.id = d.doc_id
         "chat_ingest": _chat_ingest_sql(),
         "ann_lsh_checked": _ann_exact_sql(),
         "ann_ivf_checked": _ann_exact_sql(),
+        "parallel_align": f"""
+WITH {_POS_CTES}
+SELECT 'pair_env' AS variant, doc_id, i - 1 AS start, i + 1 AS "end",
+       i - 1 AS c_target_s, i + 1 AS c_target_e, 2 AS n_rels
+FROM pos WHERE tok = 'table' AND i + 1 <= len(toks)
+UNION ALL
+SELECT 'tgt_filtered', doc_id, i - 1, i, i - 1, i, 1
+FROM pos WHERE tok = 'table'
+""",
         "bm25_scores": f"""
 SELECT 'term' AS q, doc_id, score FROM ({_bm25_or_sql([TERM], None)}) a
 UNION ALL
@@ -1302,9 +1376,17 @@ SELECT tc.id, tc.n_ws_tokens, tc.n_re_tokens, tc.n_chars,
 FROM tc JOIN qq USING (id) JOIN ll USING (id) JOIN fpp USING (id)
 """,
         "hits_page": f"""
-WITH {_POS_CTES}
-SELECT doc_id, i - 1 AS pos FROM pos WHERE tok = '{TERM}'
-ORDER BY doc_id, pos LIMIT 10 OFFSET 10
+WITH {_POS_CTES},
+h AS (SELECT doc_id, i - 1 AS pos, coalesce(toks[i + 1], '') AS context
+      FROM pos WHERE tok = '{TERM}')
+SELECT 'page' AS part, doc_id, pos, '' AS context FROM (
+  SELECT doc_id, pos FROM h ORDER BY doc_id, pos LIMIT 10 OFFSET 10
+)
+UNION ALL
+SELECT 'after' AS part, doc_id, pos, context FROM (
+  SELECT doc_id, pos, context FROM h
+  ORDER BY context ASC, doc_id ASC, pos ASC LIMIT 25
+)
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS kept_id, count(*) AS group_size
@@ -1438,13 +1520,6 @@ SELECT user_id, session_id, count(*) AS n_events,
        floor(epoch(min(ts)))::BIGINT AS session_start_epoch,
        floor(epoch(max(ts)))::BIGINT AS session_end_epoch
 FROM s GROUP BY user_id, session_id
-""",
-        "hits_sorted_by_after": f"""
-WITH {_POS_CTES}
-SELECT doc_id, i - 1 AS pos,
-       coalesce(toks[i + 1], '') AS context
-FROM pos WHERE tok = '{TERM}'
-ORDER BY context ASC, doc_id ASC, pos ASC LIMIT 25
 """,
         "doc_results": f"""
 WITH {_POS_CTES},
