@@ -76,3 +76,29 @@ def test_compact_restores_bounds_and_parity(spark, setup):
         assert rows(c.search_or(q, k=30)) == orc.topk_or(oi, q, 30), q
     # WAND path (k_hint) active again and still exact
     assert rows(c.search_or(["the"], k=5)) == orc.topk_term(oi, "the", 5)
+
+
+def test_post_append_chain_kernel_matches_join(spark, setup):
+    # the r4 positions-chain kernel must handle MULTI-SEGMENT indexes (a doc
+    # lives in exactly one segment; the kernel is block_no-agnostic) — pin
+    # kernel == join on the appended index for fixed and variable gaps
+    import os as _os
+
+    path, oi = setup
+    c = Corpus(spark, path)
+    queries = ['"the" "a"', '"the" []{0,2} "a"', '"w0001" [] "the"']
+    for q in queries:
+        kern = {
+            (r["doc_id"], r["start"], r["end"])
+            for r in c.find_cql(q).select("doc_id", "start", "end").collect()
+        }
+        _os.environ["BLACKLAB_SEQ_KERNEL"] = "join"
+        try:
+            join = {
+                (r["doc_id"], r["start"], r["end"])
+                for r in c.find_cql(q).select("doc_id", "start", "end").collect()
+            }
+        finally:
+            _os.environ.pop("BLACKLAB_SEQ_KERNEL", None)
+        assert kern == join, q
+        assert len(kern) > 0, q
