@@ -224,3 +224,75 @@ def test_alignment_api_direct(pcorp):
     out = pcorp.align_find(src, "de").collect()
     assert all(r["n_rels"] == 1 for r in out)
     assert len(out) == 3  # kat in docs 0,1,2
+
+
+# ---------------- property fuzz: rel_spans vs naive evaluator ---------------
+
+from hypothesis import HealthCheck, assume, given, settings
+from hypothesis import strategies as st
+
+_arc = st.tuples(
+    st.integers(0, 2),                            # doc
+    st.sampled_from(["nsubj", "obj", "det"]),     # type
+    st.integers(-1, 5),                           # src_start (-1 = root)
+    st.integers(0, 5),                            # tgt_start
+)
+_arcs = st.lists(_arc, min_size=0, max_size=12)
+
+
+def _naive_rel_spans(rows, rel_type, direction, span_mode):
+    import re as _re
+
+    pat = _re.compile(f"^(?:{rel_type})$")
+    out = set()
+    for d, t, ss, se, ts, te in rows:
+        if not pat.fullmatch(t):
+            continue
+        if direction == "root" and ss != -1:
+            continue
+        if direction == "forward" and not (ss != -1 and ts > ss):
+            continue
+        if direction == "backward" and not (ss != -1 and ts < ss):
+            continue
+        if span_mode == "source":
+            if ss == -1:
+                continue
+            s, e = ss, se
+        elif span_mode == "target":
+            s, e = ts, te
+        else:  # full envelope; root = target span
+            if ss == -1:
+                s, e = ts, te
+            else:
+                s, e = min(ss, ts), max(se, te)
+        out.add((d, s, e))
+    return out
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(
+    arcs=_arcs,
+    rt=st.sampled_from(["nsubj", "obj|det", ".*", "n.*"]),
+    direction=st.sampled_from(["both", "forward", "backward", "root"]),
+    mode=st.sampled_from(["full", "target", "source"]),
+)
+def test_rel_spans_fuzz(spark, arcs, rt, direction, mode):
+    from blacklab_spark.operators.relations import rel_spans
+
+    assume(not (mode == "source" and direction == "root"))
+    rows = [
+        (d, t, s, s + 1 if s >= 0 else -1, g, g + 1) for d, t, s, g in arcs
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, rel_type string, src_start int, src_end int, "
+        "tgt_start int, tgt_end int",
+    )
+    got = {
+        (r["doc_id"], r["start"], r["end"])
+        for r in rel_spans(df, rt, direction, mode).collect()
+    }
+    assert got == _naive_rel_spans(rows, rt, direction, mode), (
+        rt, direction, mode
+    )
