@@ -117,11 +117,7 @@ class Corpus:
                 for nm in os.listdir(self.paths.docs)
                 if nm.startswith("part-")
             )
-            heap = int(
-                self.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
-                .maxMemory()
-            )
-            pin_docs = docs_bytes * 3 < heap * 0.25
+            pin_docs = docs_bytes * 3 < self._executor_storage_bytes() * 0.25
         if pin_docs:
             # pays off for KWIC/collocation/constraint consumers (JVM joins
             # over the forward index); span-heavy serving at large corpora
@@ -132,6 +128,27 @@ class Corpus:
             self._docs_df.count()
         self._preloaded = True
         return self
+
+    def _executor_storage_bytes(self) -> int:
+        """Total EXECUTOR storage-memory capacity — the heap a .persist()ed
+        DataFrame actually lives in. On a cluster the driver's own heap says
+        nothing about executor storage (ADVICE r4), so sum maxMem across the
+        block managers; fall back to the local JVM heap (== executor heap in
+        local mode) if the internal API moves."""
+        try:
+            ems = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+            it = ems.toList().iterator()
+            total = 0
+            while it.hasNext():
+                total += int(it.next()._2()._1())
+            if total > 0:
+                return total
+        except Exception:
+            pass
+        return int(
+            self.spark.sparkContext._jvm.java.lang.Runtime.getRuntime()
+            .maxMemory()
+        )
 
     def doc_lengths(self) -> DataFrame:
         return self.docs.select("doc_id", "dl")
@@ -587,8 +604,9 @@ class Corpus:
                 # one intersect per gap value, spans out
                 cand = lo + np.unique(running // DOC_MULT)
                 parts = []
+                tby = tail_by_tid(pdf)  # one groupby, reused across tail terms
                 for tid in tail_tids:
-                    g = tail_by_tid(pdf).get(tid)
+                    g = tby.get(tid)
                     if g is None:
                         continue
                     fi = g["first_doc_id"].to_numpy()

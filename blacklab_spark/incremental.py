@@ -31,6 +31,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 
 from pyspark.sql import DataFrame, SparkSession
@@ -41,6 +42,49 @@ from blacklab_spark.build import IndexPaths, build_index, _mark_stage
 SEGMENT_BLOCK_BASE = 1 << 44  # block_no high bits per segment
 PENDING_MARKER = "_pending_append.json"
 TD_OLD = "_term_dict_old"
+
+# markers held by live add_to_index calls in THIS process (threads share a
+# pid, so the pid-liveness test alone cannot tell "another thread mid-append"
+# from "our own crashed re-entry") — guarded by _LOCAL_LOCK
+_LOCAL_LOCK = threading.Lock()
+_LOCAL_MARKERS: set = set()
+
+
+def _acquire_append_marker(path: str, payload: dict) -> str:
+    """Acquire the pending-append marker as an EXCLUSIVE lock: the O_EXCL
+    create IS the acquisition (no check-then-create window — two racing
+    writers cannot both pass; ADVICE r4 / VERDICT r4 TOCTOU fix). The JSON
+    payload is written through the held fd and fsynced; a crash mid-write
+    leaves a torn marker that recover_pending treats as 'nothing staged or
+    moved yet' (which is exactly true at this point)."""
+    marker = os.path.join(path, PENDING_MARKER)
+    try:
+        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+    except FileExistsError:
+        owner = None
+        try:
+            with open(marker) as f:
+                owner = json.load(f).get("writer_pid")
+        except Exception:
+            pass
+        raise RuntimeError(
+            f"concurrent append in progress on {path} "
+            f"(pending marker held by writer pid={owner}); "
+            "retry after it completes or dies"
+        )
+    try:
+        os.write(fd, json.dumps(payload, indent=2).encode())
+        os.fsync(fd)
+    finally:
+        os.close(fd)
+    with _LOCAL_LOCK:
+        _LOCAL_MARKERS.add(marker)
+    return marker
+
+
+def _release_local_marker(marker: str) -> None:
+    with _LOCAL_LOCK:
+        _LOCAL_MARKERS.discard(marker)
 
 
 def _atomic_json_write(target: str, obj) -> None:
@@ -81,8 +125,16 @@ def recover_pending(path: str) -> bool:
     marker = os.path.join(path, PENDING_MARKER)
     if not os.path.exists(marker):
         return False
-    with open(marker) as f:
-        info = json.load(f)
+    with _LOCAL_LOCK:
+        if marker in _LOCAL_MARKERS:
+            return False  # held by a live add_to_index thread in THIS process
+    try:
+        with open(marker) as f:
+            info = json.load(f)
+    except Exception:
+        # torn marker write: the writer died INSIDE the O_EXCL acquisition,
+        # before any staging or live-dir mutation — nothing to roll back
+        info = {}
     writer = info.get("writer_pid")
     if writer is not None and writer != os.getpid() and _pid_alive(writer):
         return False  # live writer holds the marker; not ours to recover
@@ -90,11 +142,14 @@ def recover_pending(path: str) -> bool:
     with open(paths.meta) as f:
         meta = json.load(f)
     td_old = os.path.join(path, TD_OLD)
-    committed = meta.get("n_segments", 1) == info["new_n_segments"]
+    committed = (
+        info.get("new_n_segments") is not None
+        and meta.get("n_segments", 1) == info["new_n_segments"]
+    )
     if committed:
         shutil.rmtree(td_old, ignore_errors=True)
     else:
-        for sub, names in info["moved"].items():
+        for sub, names in info.get("moved", {}).items():
             live = os.path.join(path, sub)
             for nm in names:
                 p = os.path.join(live, nm)
@@ -103,7 +158,7 @@ def recover_pending(path: str) -> bool:
         if os.path.exists(td_old):
             shutil.rmtree(paths.term_dict, ignore_errors=True)
             os.rename(td_old, paths.term_dict)
-    for d in info["staging"]:
+    for d in info.get("staging", []):
         shutil.rmtree(os.path.join(path, d), ignore_errors=True)
     os.remove(marker)
     return True
@@ -123,18 +178,6 @@ def add_to_index(
     _fail_point: str | None = None,
 ) -> IndexPaths:
     recover_pending(path)
-    # recover_pending leaves a marker owned by a LIVE foreign writer in place.
-    # Proceeding would overwrite that marker with our pid and race the
-    # in-flight append's part-file moves + meta commit — refuse instead.
-    marker_path = os.path.join(path, PENDING_MARKER)
-    if os.path.exists(marker_path):
-        with open(marker_path) as f:
-            owner = json.load(f).get("writer_pid")
-        raise RuntimeError(
-            f"concurrent append in progress on {path} "
-            f"(pending marker held by live writer pid={owner}); "
-            "retry after it completes or dies"
-        )
     paths = IndexPaths(path)
     with open(paths.meta) as f:
         meta = json.load(f)
@@ -146,9 +189,47 @@ def add_to_index(
         if _fail_point == point:
             raise RuntimeError(f"injected failure at {point}")
 
+    # ---- stage 0: acquire the pending marker as the append LOCK -------------
+    # O_EXCL create = the acquisition; a second writer (any process, any
+    # thread) fails the create and gets the concurrent-append error instead
+    # of racing the part-file moves. The initial payload lists every staging
+    # dir this append will create, so a crash anywhere before the commit
+    # point rolls back cleanly.
+    staging = f"_segment_{segment}"
+    docs_delta = "_docs_delta"
+    postings_delta = "_postings_delta"
+    td_merged = "_term_dict_merged"
+    td_new = "_term_dict_new"
+    staging_dirs = [staging, docs_delta, postings_delta, td_merged, td_new]
+    marker = _acquire_append_marker(
+        path,
+        {
+            "new_n_segments": segment + 1,
+            "staging": staging_dirs,
+            "writer_pid": os.getpid(),
+        },
+    )
+    try:
+        return _append_locked(
+            spark, new_transcripts, path, paths, meta, n_old, n_terms_old,
+            segment, staging, docs_delta, postings_delta, td_merged, td_new,
+            staging_dirs, marker, _fail,
+        )
+    finally:
+        # drop the in-process hold in every exit path; on an EXCEPTION the
+        # marker FILE stays behind for recover_pending (which may now act on
+        # it — writer dead-or-us and no local hold), on success it was
+        # already removed by the cleanup stage
+        _release_local_marker(marker)
+
+
+def _append_locked(
+    spark, new_transcripts, path, paths, meta, n_old, n_terms_old,
+    segment, staging, docs_delta, postings_delta, td_merged, td_new,
+    staging_dirs, marker, _fail,
+) -> IndexPaths:
     # ---- stage 1: build the delta as a standalone mini-index ---------------
     # (reuses the whole build pipeline: same tokenizer, salting, codecs)
-    staging = f"_segment_{segment}"
     build_index(
         spark, new_transcripts, os.path.join(path, staging),
         doc_key=tuple(meta.get("doc_key", ["conv_id", "turn_idx"])),
@@ -161,12 +242,6 @@ def add_to_index(
         smeta = json.load(f)
 
     # ---- stage 2: stage every output OUTSIDE the live dirs ------------------
-    docs_delta = "_docs_delta"
-    postings_delta = "_postings_delta"
-    td_merged = "_term_dict_merged"
-    td_new = "_term_dict_new"
-    staging_dirs = [staging, docs_delta, postings_delta, td_merged, td_new]
-
     # docs: shift docIDs by n_old
     spark.read.parquet(s.docs).withColumn(
         "doc_id", F.col("doc_id") + F.lit(n_old)
@@ -225,12 +300,13 @@ def add_to_index(
         .write.mode("overwrite").parquet(os.path.join(path, postings_delta))
     )
 
-    # ---- stage 3: marker, then mutate live dirs -----------------------------
+    # ---- stage 3: record the move list in the held marker, then mutate
+    # live dirs (we own the marker since stage 0; the rename-over update is
+    # atomic and keeps the lock file in place) ------------------------------
     moved = {
         "docs": _part_files(os.path.join(path, docs_delta)),
         "postings": _part_files(os.path.join(path, postings_delta)),
     }
-    marker = os.path.join(path, PENDING_MARKER)
     _atomic_json_write(
         marker,
         {

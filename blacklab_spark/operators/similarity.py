@@ -233,7 +233,9 @@ def ivf_topk(
     brute force (the recall-1.0 end of the knob). `centroids`/`assign` may be
     precomputed (the production path: train + assign once, reuse per query)."""
     if centroids is None:
-        centroids = ivf_train_centroids(emb, n_centroids, vec_col=vec_col)
+        centroids = ivf_train_centroids(
+            emb, n_centroids, vec_col=vec_col, id_col=id_col
+        )
     if assign is None:
         assign = ivf_assign(emb, centroids, id_col, vec_col)
     q = np.asarray(query_vec, dtype="float64")
@@ -285,8 +287,15 @@ def cosine_near_pairs(
     minhash_lsh_pairs) so one hot bucket can't go quadratic.
 
     `num_planes` is a compatibility alias for the pre-banding signature
-    (cosine_near_pairs(..., num_planes=8) == bands=1, rows_per_band=8)."""
+    (cosine_near_pairs(..., num_planes=8) == bands=1, rows_per_band=8);
+    combining it with explicit bands/rows_per_band is contradictory and
+    rejected rather than silently overwritten."""
     if num_planes is not None:
+        if (bands, rows_per_band) != (1, 8):
+            raise ValueError(
+                "num_planes is an alias for bands=1/rows_per_band=num_planes; "
+                "pass either num_planes OR bands/rows_per_band, not both"
+            )
         bands, rows_per_band = 1, num_planes
     sig = signlsh_band_signatures(emb, bands, rows_per_band, id_col, vec_col)
     if max_bucket_size is not None:

@@ -448,10 +448,12 @@ def _unquote(s: str) -> str:
 def _desensitize_pattern(pattern: str) -> str:
     """Lowercase a pattern destined for a case-insensitive layer, preserving
     backslash escapes: every character is lowered EXCEPT one immediately
-    following a backslash, so ``\\D``/``\\W``/``\\S`` (negated classes) and
-    ``\\Q``...``\\E`` markers survive. The reference lowercases the whole
-    search string for @i fields (DesensitizedString / MatchSensitivity
-    desensitization); this is the same intent minus the escape corruption."""
+    following a backslash, so ``\\D``/``\\W``/``\\S`` (negated classes) keep
+    their negated-class meaning. NOTE: only the single character after each
+    backslash is protected — content BETWEEN ``\\Q``...``\\E`` markers is
+    still lowercased, like the reference's blanket toLowerCase() for @i
+    fields (DesensitizedString / MatchSensitivity desensitization); quoted
+    uppercase literals on insensitive layers desensitize in both engines."""
     out = []
     i = 0
     while i < len(pattern):
@@ -1080,9 +1082,9 @@ class PlanCache:
     queries from many threads, so the OrderedDict mutation + eviction
     unpersist run under one lock. Only the CACHE BOOKKEEPING is locked —
     the (potentially slow) plan build runs outside it; two threads racing
-    the same cold key may both build, last-in wins (the loser's DataFrame
-    is unpersisted), which is correct and avoids serializing distinct
-    queries behind one long build."""
+    the same cold key may both build, and the FIRST insert wins (the later
+    builder's DataFrame is unpersisted and the winner served), which is
+    correct and avoids serializing distinct queries behind one long build."""
 
     def __init__(self, max_entries: int = 64):
         import threading
