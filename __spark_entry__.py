@@ -882,13 +882,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ---- span algebra (SURVEY.md §2.3) — postings-backed leaves: every
     # span entry decodes (doc_id, positions) from the positional postings
     # (Corpus.spans_term), not a full-corpus re-tokenize+posexplode scan ----
-    def span_containing(spark, sf_dir):
-        # join hits expanded ±2, kept only if the window contains a scan hit
+    def posfilter_modes(spark, sf_dir):
+        # the COMPLETE SpanQueryPositionFilter.Operation set (r5, closing
+        # the last partial §2.3 operator): all seven modes probed through
+        # the `_posfilter()` BCQL extension function over a variable-width
+        # producer ([]{1,2}) and filter ("table" []{0,1}), plus two
+        # inverted probes — every predicate variant oracle-checked
+        # (SpanQueryPositionFilter.java:151-172; SpansPositionFilter.java:
+        # 332-495; XFDebug.java:118-126)
         c = _corpus(spark, sf_dir)
-        producer = S.expand(c.spans_term("join"), c.docs, left=2, right=2)
-        return _to_orig(
-            c, S.containing(producer, c.spans_term("scan")), "start", "end"
-        )
+
+        def tag(mode, producer, invert=False):
+            inv = ", 'true'" if invert else ""
+            q = f"_posfilter({producer}, \"table\" []{{0,1}}, '{mode}'{inv})"
+            label = ("not_" if invert else "") + mode
+            return _to_orig(c, c.find_cql(q), "start", "end").select(
+                F.lit(label).alias("mode"), "doc_id", "start", "end"
+            )
+
+        out = tag("containing", "[]{1,2}")
+        for m in ("within", "starts_at", "ends_at", "matches",
+                  "containing_at_start", "containing_at_end"):
+            out = out.unionByName(tag(m, "[]{1,2}"))
+        # inverted probes on a small producer (hash-anchored spans)
+        out = out.unionByName(tag("within", '"hash" []{0,1}', invert=True))
+        out = out.unionByName(tag("matches", '"hash" []{0,1}', invert=True))
+        return out
 
     def span_not_counts(spark, sf_dir):
         c = _corpus(spark, sf_dir)
@@ -910,12 +929,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def span_cql_seq(spark, sf_dir):
         c = _corpus(spark, sf_dir)
         return _to_orig(c, c.find_cql('"join" []{0,2} "scan"'), "start", "end")
-
-    def span_cql_within(spark, sf_dir):
-        c = _corpus(spark, sf_dir)
-        return _to_orig(
-            c, c.find_cql('"hash" within ("table" "hash")'), "start", "end"
-        )
 
     def span_cql_rep(spark, sf_dir):
         c = _corpus(spark, sf_dir)
@@ -1171,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   annot_lemma    ⊂ annot_lemma_pos
     return {
         # -- new / reshaped this round (never verified in this form) --------
+        "posfilter_modes": posfilter_modes,  # r5: full Operation set
         "rel_nsubj": rel_nsubj,
         "chat_ingest": chat_ingest,
         "sens_cql": sens_cql,            # upgraded: 4-level + Unicode
@@ -1213,11 +1227,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_fixed": sample_fixed,
         "span_overlap": span_overlap,
         "span_andnot": span_andnot,
-        "span_containing": span_containing,
         "span_filtered_meta": span_filtered_meta,
         "span_not_counts": span_not_counts,
         "span_cql_seq": span_cql_seq,
-        "span_cql_within": span_cql_within,
         "span_cql_rep": span_cql_rep,
         "span_cql_anytoken": span_cql_anytoken,
         "span_cql_constraint": span_cql_constraint,
@@ -1567,13 +1579,60 @@ WITH {_POS_CTES}
 SELECT doc_id, i - 1 AS start, i + 1 AS "end"
 FROM pos WHERE tok = 'join' AND i + 1 <= len(toks) AND toks[i + 1] != 'scan'
 """,
-        "span_containing": f"""
+        "posfilter_modes": f"""
 WITH {_POS_CTES},
-j AS (SELECT doc_id, i, len(toks) AS n FROM pos WHERE tok = 'join'),
-s AS (SELECT doc_id, i FROM pos WHERE tok = 'scan'),
-p AS (SELECT doc_id, greatest(i - 1 - 2, 0) AS st, least(i + 2, n) AS en FROM j)
-SELECT DISTINCT p.doc_id, p.st AS start, p.en AS "end"
-FROM p JOIN s ON p.doc_id = s.doc_id AND s.i - 1 >= p.st AND s.i <= p.en
+d AS (SELECT doc_id, len(toks) AS dl FROM t),
+-- producer []{{1,2}}: every 1- and 2-token span
+pl AS (SELECT doc_id, dl, unnest([1, 2]) AS l FROM d),
+prod AS (
+  SELECT doc_id, unnest(range(0, dl - l + 1)) AS s, l FROM pl WHERE dl >= l
+),
+p2 AS (SELECT doc_id, s, s + l AS e FROM prod),
+-- filter "table" []{{0,1}}: spans of width 1..2 starting at a 'table' token
+fl AS (
+  SELECT p.doc_id, p.i - 1 AS s, p.i - 1 + w.l AS e
+  FROM pos p CROSS JOIN (SELECT unnest([1, 2]) AS l) w
+  WHERE p.tok = 'table' AND p.i - 1 + w.l <= len(p.toks)
+),
+-- inverted-probe producer "hash" []{{0,1}}
+hp AS (
+  SELECT p.doc_id, p.i - 1 AS s, p.i - 1 + w.l AS e
+  FROM pos p CROSS JOIN (SELECT unnest([1, 2]) AS l) w
+  WHERE p.tok = 'hash' AND p.i - 1 + w.l <= len(p.toks)
+)
+SELECT 'containing' AS mode, p.doc_id, p.s AS start, p.e AS "end" FROM p2 p
+WHERE EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id
+              AND f.s >= p.s AND f.e <= p.e)
+UNION ALL
+SELECT 'within', p.doc_id, p.s, p.e FROM p2 p
+WHERE EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id
+              AND f.s <= p.s AND f.e >= p.e)
+UNION ALL
+SELECT 'starts_at', p.doc_id, p.s, p.e FROM p2 p
+WHERE EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id AND f.s = p.s)
+UNION ALL
+SELECT 'ends_at', p.doc_id, p.s, p.e FROM p2 p
+WHERE EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id AND f.e = p.e)
+UNION ALL
+SELECT 'matches', p.doc_id, p.s, p.e FROM p2 p
+WHERE EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id
+              AND f.s = p.s AND f.e = p.e)
+UNION ALL
+SELECT 'containing_at_start', p.doc_id, p.s, p.e FROM p2 p
+WHERE EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id
+              AND f.s = p.s AND f.e <= p.e)
+UNION ALL
+SELECT 'containing_at_end', p.doc_id, p.s, p.e FROM p2 p
+WHERE EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id
+              AND f.s >= p.s AND f.e = p.e)
+UNION ALL
+SELECT 'not_within', p.doc_id, p.s, p.e FROM hp p
+WHERE NOT EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id
+                  AND f.s <= p.s AND f.e >= p.e)
+UNION ALL
+SELECT 'not_matches', p.doc_id, p.s, p.e FROM hp p
+WHERE NOT EXISTS (SELECT 1 FROM fl f WHERE f.doc_id = p.doc_id
+                  AND f.s = p.s AND f.e = p.e)
 """,
         "span_not_counts": f"""
 WITH {_POS_CTES}
@@ -1591,16 +1650,6 @@ a AS (SELECT doc_id, i FROM pos WHERE tok = 'join'),
 b AS (SELECT doc_id, i FROM pos WHERE tok = 'scan')
 SELECT a.doc_id, a.i - 1 AS start, b.i AS "end"
 FROM a JOIN b ON a.doc_id = b.doc_id AND b.i - a.i - 1 BETWEEN 0 AND 2
-""",
-        "span_cql_within": f"""
-WITH {_POS_CTES},
-h AS (SELECT doc_id, i FROM pos WHERE tok = 'hash'),
-bi AS (
-  SELECT doc_id, i - 1 AS s, i + 1 AS e FROM pos
-  WHERE tok = 'table' AND i + 1 <= len(toks) AND toks[i + 1] = 'hash'
-)
-SELECT DISTINCT h.doc_id, h.i - 1 AS start, h.i AS "end"
-FROM h JOIN bi ON h.doc_id = bi.doc_id AND h.i - 1 >= bi.s AND h.i <= bi.e
 """,
         "span_cql_rep": f"""
 WITH {_POS_CTES}

@@ -97,29 +97,75 @@ def span_not_tokens(docs: DataFrame, clause: DataFrame) -> DataFrame:
     )
 
 
+# The reference's full positional-operation set (SpanQueryPositionFilter.
+# Operation, /root/reference/engine/src/main/java/nl/inl/blacklab/search/
+# lucene/SpanQueryPositionFilter.java:151-172; predicates SpansPositionFilter
+# .java:332-495). Each maps a (producer span p, filter span f) pair — with
+# the producer's edges optionally adjusted (adjustLeading/adjustTrailing) —
+# to a keep/drop predicate; the producer span itself is returned unchanged.
+POSFILTER_OPS = (
+    "containing", "within", "starts_at", "ends_at", "matches",
+    "containing_at_start", "containing_at_end",
+)
+
+
+def position_filter(
+    producer: DataFrame,
+    filt: DataFrame,
+    op: str = "matches",
+    invert: bool = False,
+    adjust_leading: int = 0,
+    adjust_trailing: int = 0,
+) -> DataFrame:
+    """SpanQueryPositionFilter with the reference's full Operation enum:
+
+        containing            f.start >= p.start  AND f.end <= p.end
+        within                f.start <= p.start  AND f.end >= p.end
+        starts_at             f.start == p.start
+        ends_at               f.end   == p.end
+        matches               f.start == p.start  AND f.end == p.end
+        containing_at_start   f.start == p.start  AND f.end <= p.end
+        containing_at_end     f.start >= p.start  AND f.end == p.end
+
+    (p.start/p.end taken AFTER the leading/trailing adjustments, exactly
+    like SpansPositionFilter's producerStart + leftAdjust comparisons.)
+    invert=True keeps producer hits with NO matching filter hit. Physical
+    shape: a doc_id-keyed semi/anti join with the positional predicate in
+    the join condition — Catalyst hash-shuffles both sides on doc_id once
+    and codegen evaluates the predicate per per-doc pair, the set-at-a-time
+    analog of the reference's per-document sorted-spans walk."""
+    op = op.lower()
+    p, c = producer.alias("p"), filt.alias("c")
+    ps = F.col("p.start") + F.lit(adjust_leading)
+    pe = F.col("p.end") + F.lit(adjust_trailing)
+    fs, fe = F.col("c.start"), F.col("c.end")
+    preds = {
+        "containing": (fs >= ps) & (fe <= pe),
+        "within": (fs <= ps) & (fe >= pe),
+        "starts_at": fs == ps,
+        "ends_at": fe == pe,
+        "matches": (fs == ps) & (fe == pe),
+        "containing_at_start": (fs == ps) & (fe <= pe),
+        "containing_at_end": (fs >= ps) & (fe == pe),
+    }
+    if op not in preds:
+        raise ValueError(
+            f"unknown position-filter operation {op!r}; one of {POSFILTER_OPS}"
+        )
+    cond = (F.col("p.doc_id") == F.col("c.doc_id")) & preds[op]
+    how = "left_anti" if invert else "left_semi"
+    return p.join(c, cond, how).select("p.*")
+
+
 def within(producer: DataFrame, container: DataFrame, invert: bool = False) -> DataFrame:
     """Producer spans fully inside a container span (SpanQueryPositionFilter
     WITHIN); invert=True → NOT WITHIN."""
-    p, c = producer.alias("p"), container.alias("c")
-    cond = (
-        (F.col("p.doc_id") == F.col("c.doc_id"))
-        & (F.col("p.start") >= F.col("c.start"))
-        & (F.col("p.end") <= F.col("c.end"))
-    )
-    how = "left_anti" if invert else "left_semi"
-    return p.join(c, cond, how).select("p.*")
+    return position_filter(producer, container, "within", invert)
 
 
 def containing(producer: DataFrame, contained: DataFrame, invert: bool = False) -> DataFrame:
     """Producer spans that contain a hit of `contained` (CONTAINING)."""
-    p, c = producer.alias("p"), contained.alias("c")
-    cond = (
-        (F.col("p.doc_id") == F.col("c.doc_id"))
-        & (F.col("c.start") >= F.col("p.start"))
-        & (F.col("c.end") <= F.col("p.end"))
-    )
-    how = "left_anti" if invert else "left_semi"
-    return p.join(c, cond, how).select("p.*")
+    return position_filter(producer, contained, "containing", invert)
 
 
 def overlapping(a: DataFrame, b: DataFrame) -> DataFrame:

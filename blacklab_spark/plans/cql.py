@@ -21,6 +21,10 @@ postings-backed span algebra:
                              (booleanQuery level; binds tighter than within)
     (?= B) / (?! B)          zero-width lookahead at the current position
     A within B / containing  position filter (optional ! prefix inverts)
+    _posfilter(A, B, 'op'[, 'true'])   the full Operation set: within /
+                             containing / starts_at / ends_at / matches /
+                             containing_at_start / containing_at_end, with
+                             an optional invert flag (XFDebug _posfilter)
     lab:X                    capture group -> c_<lab>_s / c_<lab>_e columns
     q :: lab.word = lab2.pos    global constraints via the forward index of
                                 the referenced layer (MatchFilterEquals
@@ -113,10 +117,10 @@ class Lookahead:          # (?= seq) / (?! seq): zero-width assertion
 
 
 @dataclass(frozen=True)
-class PosFilterNode:      # within / containing (+invert)
-    producer: object
+class PosFilterNode:      # position filter (within/containing infix, plus
+    producer: object      # the full _posfilter(...) Operation set)
     filt: object
-    op: str               # "within" | "containing"
+    op: str               # one of operators.spans.POSFILTER_OPS
     invert: bool = False
 
 
@@ -169,7 +173,7 @@ _TOKEN_RE = re.compile(
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
     | (?P<amp>&) | (?P<pipe>\|) | (?P<neq>!=) | (?P<eq>=) | (?P<dot>\.)
     | (?P<str>"(?:[^"\\]|\\.)*")
-    | (?P<sqstr>'[A-Za-z]*')
+    | (?P<sqstr>'[A-Za-z_]*')
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<comma>,)
     | (?P<colon>:)
@@ -369,8 +373,43 @@ class _Parser:
             raise ValueError(f"bad quantifier {{{m},{n}}}")
         return Unit(node, m, n, label)
 
-    # atom := '[' tokexpr? ']' | STR | '(' seq ')' | rspan '(' relquery ',' MODE ')'
+    def _str_arg(self) -> str:
+        """A 'single-quoted' or bare-ident string argument of a function-
+        style atom (the reference's query extension functions take string
+        args, cql.jj :544-558)."""
+        if self.peek("sqstr"):
+            return self.eat("sqstr")[1:-1]
+        return self.eat("ident")
+
+    # atom := '[' tokexpr? ']' | STR | '(' seq ')'
+    #       | rspan '(' relquery ',' MODE ')'
+    #       | _posfilter '(' relquery ',' relquery ',' OP [',' INVERT] ')'
     def atom(self):
+        if self.peek("ident") and self.peek("ident")[1] == "_posfilter":
+            # _posfilter(producer, filter, operation, inverted) — the full
+            # SpanQueryPositionFilter.Operation set, spelled like the
+            # reference's extension function (XFDebug.java:118-126;
+            # Operation.fromStringValue is case-insensitive)
+            from blacklab_spark.operators.spans import POSFILTER_OPS
+
+            self.eat("ident")
+            self.eat("lpar")
+            prod = self.relquery()
+            self.eat("comma")
+            filt = self.relquery()
+            self.eat("comma")
+            mode = self._str_arg().lower()
+            invert = False
+            if self.peek("comma"):
+                self.eat("comma")
+                invert = self._str_arg().lower() == "true"
+            self.eat("rpar")
+            if mode not in POSFILTER_OPS:
+                raise ValueError(
+                    f"unknown _posfilter operation {mode!r}; "
+                    f"one of {POSFILTER_OPS}"
+                )
+            return PosFilterNode(prod, filt, mode, invert)
         if self.peek("ident") and self.peek("ident")[1] == "rspan":
             # rspan(A -rel-> B, 'mode') — adjust the relation match's span
             # (cql.jj relation functions; RelationInfo.SpanMode:83-96)
@@ -378,10 +417,7 @@ class _Parser:
             self.eat("lpar")
             inner = self.relquery()
             self.eat("comma")
-            if self.peek("sqstr"):
-                mode = self.eat("sqstr")[1:-1]
-            else:
-                mode = self.eat("ident")
+            mode = self._str_arg()
             self.eat("rpar")
             if mode not in ("source", "target", "full", "all"):
                 raise ValueError(f"unknown rspan mode {mode!r}")
@@ -650,8 +686,7 @@ class CqlCompiler:
         if isinstance(node, PosFilterNode):
             prod = self.compile(node.producer)
             filt = self.compile(node.filt).select(*SPAN_COLS)
-            fn = S.within if node.op == "within" else S.containing
-            return fn(prod, filt, invert=node.invert)
+            return S.position_filter(prod, filt, node.op, invert=node.invert)
         if isinstance(node, ConstrainedNode):
             return self._apply_constraints(self.compile(node.q), node.conditions)
         if isinstance(node, RelNode):

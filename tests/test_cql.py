@@ -339,3 +339,50 @@ def test_bm25_scoring_path_cached(cidx):
     b = [(r["doc_id"], r["score"]) for r in cidx.search_or(["the"], k=5).collect()]
     assert a == b
     assert cidx._search_cache.hits > hits0
+
+
+def test_posfilter_all_modes_vs_naive(cidx):
+    # the full SpanQueryPositionFilter.Operation set (±invert) via the
+    # _posfilter() extension function, checked against a naive Python
+    # evaluation of the predicates over the same producer/filter span sets
+    # (SpansPositionFilter.java:332-495 semantics)
+    prod_q, filt_q = "[]{2,2}", '"the" []'
+    prod = spans(cidx.find_cql(prod_q))
+    filt = spans(cidx.find_cql(filt_q))
+    preds = {
+        "containing": lambda p, f: f[1] >= p[1] and f[2] <= p[2],
+        "within": lambda p, f: f[1] <= p[1] and f[2] >= p[2],
+        "starts_at": lambda p, f: f[1] == p[1],
+        "ends_at": lambda p, f: f[2] == p[2],
+        "matches": lambda p, f: f[1] == p[1] and f[2] == p[2],
+        "containing_at_start": lambda p, f: f[1] == p[1] and f[2] <= p[2],
+        "containing_at_end": lambda p, f: f[1] >= p[1] and f[2] == p[2],
+    }
+    for op, pred in preds.items():
+        for inv in (False, True):
+            q = f"_posfilter({prod_q}, {filt_q}, '{op}', '{str(inv).lower()}')"
+            got = spans(cidx.find_cql(q))
+            want = sorted(
+                p for p in prod
+                if any(p[0] == f[0] and pred(p, f) for f in filt) != inv
+            )
+            assert got == want, (op, inv)
+    # sanity: 'matches' picked exactly the "the X" bigrams, not everything
+    assert spans(cidx.find_cql(
+        f"_posfilter({prod_q}, {filt_q}, 'matches')"
+    )) == filt
+
+
+def test_posfilter_infix_equivalence(cidx):
+    # the infix operators are the same machinery as the extension function
+    assert spans(cidx.find_cql('"be" within ("to" "be")')) == spans(
+        cidx.find_cql('_posfilter("be", ("to" "be"), \'within\')')
+    )
+    assert spans(cidx.find_cql('("to" "be") containing "be"')) == spans(
+        cidx.find_cql("_posfilter((\"to\" \"be\"), \"be\", 'containing')")
+    )
+
+
+def test_posfilter_unknown_op_rejected(cidx):
+    with pytest.raises(ValueError, match="unknown _posfilter operation"):
+        cidx.find_cql("_posfilter([], [], 'sideways')")
