@@ -136,16 +136,21 @@ def _annot_corpus(spark: SparkSession, sf_dir: str) -> AnnotatedCorpus:
     return AnnotatedCorpus(spark, root)
 
 
-# deterministic case+ACCENT variant rule for the sensitivity fixture: the
-# testdata is all-lowercase ASCII, so the raw (@s) layer capitalizes words of
-# length >= 5 and accents every lowercase 'e' (e→é) in words of length >= 7 —
-# the SAME rule text is valid Spark SQL (inside transform) and DuckDB
-# (on a token column), so the oracle reproduces all four sensitivity levels
+# deterministic case+ACCENT+DIGRAPH variant rule for the sensitivity
+# fixture: the testdata is all-lowercase ASCII, so the raw (@s) layer
+# capitalizes words of length >= 5, accents every 'e' (e→é) in words of
+# length >= 7, and plants ligatures in shorter words (6 letters: s→ß;
+# 4 letters: i→ĳ — 'stream'→'ßtream', 'join'→'joĳn') — the SAME rule text
+# is valid Spark SQL (inside transform) and DuckDB (on a token column), so
+# the oracle reproduces all four sensitivity levels including the r5
+# token-level digraph folds
 _CASE_RULE = (
     "CASE WHEN length({x}) >= 7 "
     "THEN replace(concat(upper(substring({x}, 1, 1)), substring({x}, 2)), 'e', 'é') "
-    "WHEN length({x}) >= 5 "
+    "WHEN length({x}) = 6 THEN replace({x}, 's', 'ß') "
+    "WHEN length({x}) = 5 "
     "THEN concat(upper(substring({x}, 1, 1)), substring({x}, 2)) "
+    "WHEN length({x}) = 4 THEN replace({x}, 'i', 'ĳ') "
     "ELSE {x} END"
 )
 
@@ -157,7 +162,7 @@ def _sens_corpus(spark: SparkSession, sf_dir: str):
     word_s (raw) via annotated.build_sensitivity_index."""
     from blacklab_spark.annotated import build_sensitivity_index
 
-    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_sens_v2"
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_sens_v3"
     root = os.path.join(CACHE_ROOT, name)
     d = _tokenized_docs(spark, sf_dir)
     frame = d.select(
@@ -479,12 +484,14 @@ ORDER BY score DESC, doc_id ASC LIMIT {k}
 
 def _sens_cql_sql() -> str:
     """DuckDB reproduction of the 4-level sensitivity entry: derive the raw
-    (_CASE_RULE) layer, then the i/ci/di levels via the SAME lower/translate
-    fold the engine builds its layers with (tokenizer.ACCENT_FROM/TO)."""
-    from blacklab_spark.tokenizer import ACCENT_FROM, ACCENT_TO
+    (_CASE_RULE) layer, then the i/ci/di levels via the SAME fold expression
+    the engine builds its layers with (tokenizer.fold_sql: digraph replace()
+    chain + translate(ACCENT_FROM, ACCENT_TO) — identical text in both
+    engines, so the folded bytes match by construction)."""
+    from blacklab_spark.tokenizer import fold_sql
 
-    fold = f"translate(x, '{ACCENT_FROM}', '{ACCENT_TO}')"
-    fold_lower = f"translate(lower(x), '{ACCENT_FROM}', '{ACCENT_TO}')"
+    fold = fold_sql("x")
+    fold_lower = fold_sql("lower(x)")
     return f"""
 WITH t AS (
   SELECT doc_id, regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
@@ -517,6 +524,15 @@ WHERE regexp_matches(lvl_di[i], '^(?:Tabl.*)$')
 UNION ALL
 SELECT 's', doc_id, i - 1, i FROM pos
 WHERE raw[i] = 'Table'
+UNION ALL
+SELECT 'dg_lig', doc_id, i - 1, i FROM pos
+WHERE lvl_i[i] = 'joijn'
+UNION ALL
+SELECT 'dg_plain', doc_id, i - 1, i FROM pos
+WHERE lvl_i[i] = 'joijn'
+UNION ALL
+SELECT 'dg_ss', doc_id, i - 1, i FROM pos
+WHERE lvl_i[i] = 'sstream'
 """
 
 
@@ -1055,6 +1071,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             .unionByName(tag('[word_ci=".*é.*"]', "ci"))
             .unionByName(tag('[word_di="Tabl.*"]', "di"))
             .unionByName(tag('[word="(?c)Table"]', "s"))
+            # r5 digraph probes: the fixture plants ĳ/ß tokens ('join'→
+            # 'joĳn', 'stream'→'ßtream'); an insensitive search must cross
+            # the ligature in BOTH spellings (VERDICT r4 #2)
+            .unionByName(tag('[word="joĳn"]', "dg_lig"))
+            .unionByName(tag('[word="joijn"]', "dg_plain"))
+            .unionByName(tag('[word="sstream"]', "dg_ss"))
         )
 
     def rel_nsubj(spark, sf_dir):

@@ -506,9 +506,11 @@ def _desensitize_pattern(pattern: str) -> str:
 
 def _fold_pattern(pattern: str) -> str:
     """Accent-fold a pattern destined for a FOLDED (i/di-level) layer, same
-    escape-preserving walk as _desensitize_pattern. The fold map is strictly
-    1:1 (tokenizer.fold_accents), so regex structure can't be corrupted —
-    metacharacters are ASCII and fold to themselves."""
+    escape-preserving walk as _desensitize_pattern. Metacharacters are ASCII
+    and fold to themselves, so regex structure survives; digraphs (ĳ/æ/ß)
+    expand 1:n — a literal "ĳs" becomes "ijs" and matches the folded layer,
+    while a digraph INSIDE a character class would change the class's
+    meaning (same caveat class as the reference's blanket lowercasing)."""
     from blacklab_spark.tokenizer import fold_accents
 
     out = []

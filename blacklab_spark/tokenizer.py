@@ -27,13 +27,25 @@ from fixtures/testdata, pinned by test):
   * DuckDB/RE2 knows ~196 supplementary-plane letters Python 3.11 doesn't;
   * lower() differs on 9 exotic BMP caps (İ Ⱟ Ꟁ…) between engines.
 
-Accent folding is an EXPLICIT 1:1 map (NFD → strip combining marks, kept
-only where the result is one char), applied identically via str.translate /
-Spark translate() / DuckDB translate() — so all three engines fold the same
-bytes by construction. Digraphs the reference's ICU folding would split
-(æ→ae, ĳ→ij, ß→ss) are deliberately left alone: translate() is 1:1 and a
-1:2 fold would break position alignment guarantees anyway. Documented
-divergence from RemoveAllAccentsFilter.java:17 (which uses Normalizer+regex).
+Accent folding is an EXPLICIT map applied at the WHOLE-TOKEN level (a 1:n
+replacement cannot break token alignment — positions index tokens, not
+chars), in two parts shared bit-for-bit by all three engines:
+
+  * a 1:1 char map (NFD → strip combining marks where one base char
+    remains, plus the reference's Ł/ł special case, StringUtil.java:137-151)
+    applied via str.translate / SQL translate(ACCENT_FROM, ACCENT_TO);
+  * a small DIGRAPH map (ĳ→ij, æ→ae, œ→oe, ß→ss + capitals) applied via
+    chained SQL replace() before the translate (fold_sql builds the
+    expression; Python str.translate takes the merged map directly).
+
+The digraph folds go BEYOND the reference's stripAccents, whose own comment
+admits "this doesn't correctly remove ligatures" (StringUtil.java:132) — a
+Dutch insensitive search for "ijs" should hit "ĳs" (VERDICT r4 #2), so the
+i/di levels fold ligatures here; divergence documented in COVERAGE.md.
+Pattern-side folding (plans/cql._fold_pattern) applies the same map per
+char: metacharacters are ASCII and fold to themselves; a digraph INSIDE a
+character class expands 1:n and changes the class's meaning — the same
+caveat class as the reference's blanket toLowerCase() desensitization.
 
 The vectorized paths (`*_series`) are pandas str-method pipelines used
 inside Arrow-batched pandas UDFs — no per-row Python in the Spark hot path.
@@ -113,6 +125,10 @@ def _build_accent_map() -> dict[int, str]:
         )
         if len(base) == 1 and base != ch:
             out[cp] = base
+    # the stroke letters NFD can't decompose but the reference folds by hand
+    # (StringUtil.convertRemainingAccentCharacters, StringUtil.java:141-151)
+    out[0x0141] = "L"  # Ł
+    out[0x0142] = "l"  # ł
     return out
 
 
@@ -121,20 +137,36 @@ _ACCENT_MAP = _build_accent_map()
 ACCENT_FROM = "".join(chr(cp) for cp in sorted(_ACCENT_MAP))
 ACCENT_TO = "".join(_ACCENT_MAP[cp] for cp in sorted(_ACCENT_MAP))
 
+# 1:n ligature/digraph folds (beyond the reference's stripAccents — see the
+# module docstring). Applied token-level; SQL side = chained replace().
+DIGRAPH_FOLDS = {
+    "ĳ": "ij", "Ĳ": "IJ",
+    "æ": "ae", "Æ": "AE",
+    "œ": "oe", "Œ": "OE",
+    "ß": "ss", "ẞ": "SS",
+}
+_FULL_FOLD_MAP = {**_ACCENT_MAP, **{ord(k): v for k, v in DIGRAPH_FOLDS.items()}}
+
 
 def fold_accents(s: str) -> str:
-    """é→e, ü→u, ñ→n … via the explicit 1:1 map (NOT unicodedata at call
-    time — the map is the contract shared with the SQL translate() calls)."""
-    return s.translate(_ACCENT_MAP)
+    """é→e, ü→u, ñ→n, ĳ→ij, ß→ss … via the explicit map (NOT unicodedata at
+    call time — the map is the contract shared with the SQL fold_sql()
+    expression). str.translate accepts 1:n values, so one pass covers both
+    the accent and digraph parts."""
+    return s.translate(_FULL_FOLD_MAP)
 
 
 def fold_accents_series(s: pd.Series) -> pd.Series:
-    return s.str.translate(_ACCENT_MAP)
+    return s.str.translate(_FULL_FOLD_MAP)
 
 
 def fold_sql(expr: str) -> str:
     """The identical fold as a SQL expression (valid in Spark SQL and
-    DuckDB): translate(expr, ACCENT_FROM, ACCENT_TO)."""
+    DuckDB): digraph replace() chain, then translate(ACCENT_FROM, ACCENT_TO).
+    Order is irrelevant (the two maps' domains are disjoint) but pinned:
+    replaces inside, translate outside."""
+    for src in sorted(DIGRAPH_FOLDS):
+        expr = f"replace({expr}, '{src}', '{DIGRAPH_FOLDS[src]}')"
     return f"translate({expr}, '{ACCENT_FROM}', '{ACCENT_TO}')"
 
 

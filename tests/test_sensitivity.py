@@ -196,3 +196,72 @@ def test_fold_map_locked_across_python_and_duckdb():
         "SELECT translate(?, ?, ?)", [ACCENT_FROM, ACCENT_FROM, ACCENT_TO]
     ).fetchone()[0]
     assert got == fold_accents(ACCENT_FROM) == ACCENT_TO
+
+
+# --------------------- round 5: digraph / ligature folds ---------------------
+
+DG_TEXTS = [
+    "het ĳs op de gracht",      # doc 0: ligature ĳ
+    "ijs zonder ligatuur",      # doc 1: plain ij
+    "die Straße im Dorf",       # doc 2: ß
+    "ærlig over het œuvre",     # doc 3: æ / œ
+]
+
+
+@pytest.fixture(scope="module")
+def dgcorp(spark, tmp_root):
+    from blacklab_spark.annotated import build_sensitivity_index
+
+    rows = [
+        ("conv-dg", i, tokenize_sensitive(t)) for i, t in enumerate(DG_TEXTS)
+    ]
+    pdf = pd.DataFrame(rows, columns=["conv_id", "turn_idx", "word_s"])
+    root = f"{tmp_root}/dg_sens_idx"
+    build_sensitivity_index(spark, spark.createDataFrame(pdf), root, block_size=4)
+    return AnnotatedCorpus(spark, root)
+
+
+def test_digraph_fold_map():
+    from blacklab_spark.tokenizer import fold_accents
+
+    assert fold_accents("ĳs") == "ijs"
+    assert fold_accents("Straße") == "Strasse"
+    assert fold_accents("œuvre") == "oeuvre"
+    assert fold_accents("ærlig") == "aerlig"
+    assert fold_accents("Łódź") == "Lodz"  # reference's Ł/ł special case
+    assert fold_accents("ĲSSELMEER") == "IJSSELMEER"
+
+
+def test_fold_sql_parity_duckdb_and_spark(spark):
+    import duckdb
+
+    from blacklab_spark.tokenizer import fold_accents, fold_sql
+
+    probes = ["ĳs", "Straße", "ærlig œuvre", "Łódź café", "ĲS ẞ Æ Œ", "plain"]
+    con = duckdb.connect()
+    for p in probes:
+        duck = con.execute(
+            f"SELECT {fold_sql('x')} FROM (SELECT ? AS x)", [p]
+        ).fetchone()[0]
+        sp = spark.sql(
+            f"SELECT {fold_sql('x')} AS f FROM (SELECT '{p}' AS x)"
+        ).first()["f"]
+        assert duck == sp == fold_accents(p), p
+
+
+def test_insensitive_search_crosses_digraph(dgcorp):
+    # VERDICT r4 #2: an insensitive search for "ijs" must hit "ĳs" (and the
+    # digraph spelling must hit the plain one — the fold is symmetric)
+    def docs_of(q):
+        return sorted({r["doc_id"] for r in dgcorp.find_cql(q).collect()})
+
+    assert docs_of('[word="ijs"]') == [0, 1]
+    assert docs_of('[word="ĳs"]') == [0, 1]
+    assert docs_of('[word="strasse"]') == [2]
+    assert docs_of('[word="straße"]') == [2]
+    assert docs_of('[word="aerlig"]') == [3]
+    # di level folds digraphs but keeps case
+    assert docs_of('[word_di="ijs"]') == [0, 1]
+    # ci level keeps the digraph distinct (case-folded only)
+    assert docs_of('[word_ci="ĳs"]') == [0]
+    assert docs_of('[word_ci="ijs"]') == [1]
