@@ -199,13 +199,57 @@ def doc_results(docs: DataFrame, term: str, max_stored: int = 3) -> DataFrame:
     return doc_results_hits(hits(docs, term), max_stored)
 
 
+def collation_key(col: str) -> F.Column:
+    """BlackLab's INSENSITIVE collation key as a plain expression: lowercase
+    + accent/digraph fold — the reference's desensitized collator is built
+    to be "identical to lowercasing and stripping accents before calling
+    String.equals()" (Collators.java:50-67), so sorting by
+    (collation_key, term) reproduces its primary order with a deterministic
+    raw-term tiebreak ('é' groups with 'e', not after 'z'; 'APE'/'ape'
+    adjacent). Residual divergence from full ICU (COVERAGE.md): tertiary
+    weights for exotic scripts, and the reference's "&' ' < '-' < '_'"
+    dash/space rule — unreachable here because the tokenizer never emits
+    space or dash inside a term. Computed at query time (Catalyst evaluates
+    it during the scan — no stored column, no format change)."""
+    from blacklab_spark.tokenizer import fold_sql
+
+    return F.expr(fold_sql(f"lower({col})"))
+
+
+def term_listing(term_dict: DataFrame, k: int = 100) -> DataFrame:
+    """Collation-ordered term listing (the Terms.idToSortPosition /
+    insensitive sort-position surface, /root/reference/engine/src/main/java/
+    nl/inl/blacklab/forwardindex/Terms.java:46-77, TermsGlobal's ICU
+    collator): top-k terms by (collation_key, term) with an explicit rank —
+    the rank column makes the ORDER itself the checked value. Physical
+    shape: orderBy+limit is TakeOrderedAndProject (bounded per-partition
+    heaps, no global sort); the row_number window then runs over k rows
+    driver-side-bounded, so the plan scales with k, not vocabulary."""
+    from pyspark.sql import Window
+
+    key = collation_key("term")
+    top = (
+        term_dict.select(
+            "term", key.alias("sort_key"), "df", "cf"
+        )
+        .orderBy(F.asc("sort_key"), F.asc("term"))
+        .limit(k)
+    )
+    w = Window.orderBy(F.asc("sort_key"), F.asc("term"))
+    return top.select(
+        F.row_number().over(w).alias("rank"), "term", "sort_key", "df", "cf"
+    )
+
+
 def autocomplete(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
     """Term autocompletion (BLS /autocomplete analog): prefix-matching terms
-    by collection frequency desc, term asc."""
+    by collection frequency desc, then collation order (r5: the tiebreak is
+    the insensitive collation key + raw term, so accented completions sort
+    with their base letter like the reference, not after 'z')."""
     return (
         term_dict.filter(F.col("term").startswith(prefix))
         .select("term", "cf")
-        .orderBy(F.desc("cf"), F.asc("term"))
+        .orderBy(F.desc("cf"), F.asc(collation_key("term")), F.asc("term"))
         .limit(k)
     )
 

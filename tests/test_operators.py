@@ -382,3 +382,30 @@ def test_multiprobe_hamming2_superset(spark):
           similarity.signlsh_topk(emb, q, k=50, num_planes=4,
                                   multiprobe_hamming=2).collect()}
     assert h1 <= h2 and 3 in h1
+
+
+def test_collation_term_listing_order(spark):
+    # r5 (VERDICT #3): insensitive collation order — accented terms group
+    # with their base letter (Collators.java desensitized order: lowercase +
+    # strip accents, raw term as tiebreak), NOT after 'z' like byte order
+    from blacklab_spark.operators.grouping import autocomplete, term_listing
+
+    td = spark.createDataFrame(
+        [("table", 3, 5), ("tablé", 2, 2), ("zebra", 1, 1),
+         ("Ápe", 1, 1), ("ape", 2, 4), ("ĳs", 1, 1), ("ijs", 1, 1)],
+        "term string, df long, cf long",
+    )
+    rows = term_listing(td, k=10).collect()
+    terms = [r["term"] for r in rows]
+    # byte order would give: Ápe/tablé/zebra/ĳs after the ASCII block
+    assert terms == ["ape", "Ápe", "ijs", "ĳs", "table", "tablé", "zebra"]
+    assert [r["rank"] for r in rows] == list(range(1, 8))
+    assert rows[1]["sort_key"] == "ape"    # Ápe folds to ape
+    assert rows[3]["sort_key"] == "ijs"    # ĳs digraph-folds to ijs
+    # autocomplete tiebreak: equal cf → collation order, not byte order
+    ac = autocomplete(
+        spark.createDataFrame(
+            [("tz", 7), ("tablé", 7), ("taa", 7)], "term string, cf long"
+        ), "t", k=3,
+    ).collect()
+    assert [r["term"] for r in ac] == ["taa", "tablé", "tz"]
