@@ -916,19 +916,42 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         d = _load_documents(spark, sf_dir)
         return grouping.sample_fixed_n(d, "doc_id", 25, seed=7).select("doc_id")
 
-    def span_overlap(spark, sf_dir):
+    def span_setops(spark, sf_dir):
+        # r5 consolidation of span_overlap + span_andnot (both stay
+        # oracle-checked): overlap = intersection parts of expanded join/
+        # scan windows (SpanQueryOverlapping); andnot = join-bigrams whose
+        # extent is not also a "join scan" bigram (SpanQueryAndNot)
         c = _corpus(spark, sf_dir)
         a = S.expand(c.spans_term("join"), c.docs, left=1, right=1)
         b = S.expand(c.spans_term("scan"), c.docs, left=1, right=1)
-        return _to_orig(c, S.overlapping(a, b), "start", "end")
+        ov = _to_orig(c, S.overlapping(a, b), "start", "end").select(
+            F.lit("overlap").alias("variant"), "doc_id", "start", "end"
+        )
+        an = _to_orig(
+            c,
+            S.span_and_not(c.find_cql('"join" []'), c.find_cql('"join" "scan"')),
+            "start", "end",
+        ).select(F.lit("andnot").alias("variant"), "doc_id", "start", "end")
+        return ov.unionByName(an)
 
-    def span_andnot(spark, sf_dir):
-        # join-bigrams whose second token is NOT scan (AND with a negative
-        # clause over identical extents)
-        c = _corpus(spark, sf_dir)
-        a = c.find_cql('"join" []')
-        b = c.find_cql('"join" "scan"')
-        return _to_orig(c, S.span_and_not(a, b), "start", "end")
+    def annot_chain(spark, sf_dir):
+        # r5 (VERDICT #7): CROSS-LAYER sequence chains through the
+        # positions-chain kernel — [pos] then [lemma] clauses decode from
+        # different layer indexes but co-locate in one doc-range shuffle
+        # (blocks keyed (layer, term_id)); 'gap' adds a cross-layer
+        # variable-gap tail in the same pass
+        ac = _annot_corpus(spark, sf_dir)
+
+        def tag(q, t):
+            return _to_orig(
+                ac.word, ac.find_cql(q).select("doc_id", "start", "end"),
+                "start", "end",
+            ).select(F.lit(t).alias("variant"), "doc_id", "start", "end")
+
+        return (
+            tag('[pos="func"] [lemma="s"]', "adj")
+            .unionByName(tag('[pos="func"] []{1,2} [lemma="s"]', "gap"))
+        )
 
     # ---- span algebra (SURVEY.md §2.3) — postings-backed leaves: every
     # span entry decodes (doc_id, positions) from the positional postings
@@ -1257,6 +1280,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # -- new / reshaped this round (never verified in this form) --------
         "posfilter_modes": posfilter_modes,  # r5: full Operation set
         "term_sort": term_sort,              # r5: collation-ordered listing
+        "annot_chain": annot_chain,          # r5: cross-layer kernel chains
+        "span_setops": span_setops,          # r5 merge: overlap + andnot
         "rel_nsubj": rel_nsubj,
         "chat_ingest": chat_ingest,
         "sens_cql": sens_cql,            # upgraded: 4-level + Unicode
@@ -1297,8 +1322,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hits_group_composite": hits_group_composite,
         "events_by_decade": events_by_decade,
         "sample_fixed": sample_fixed,
-        "span_overlap": span_overlap,
-        "span_andnot": span_andnot,
         "span_filtered_meta": span_filtered_meta,
         "span_not_counts": span_not_counts,
         "span_cql_seq": span_cql_seq,
@@ -1641,19 +1664,30 @@ FROM events GROUP BY 1
 SELECT doc_id FROM documents
 ORDER BY md5('7-' || doc_id::VARCHAR), doc_id LIMIT 25
 """,
-        "span_overlap": f"""
+        "span_setops": f"""
 WITH {_POS_CTES},
 a AS (SELECT doc_id, greatest(i - 2, 0) AS s, least(i + 1, len(toks)) AS e
       FROM pos WHERE tok = 'join'),
 b AS (SELECT doc_id, greatest(i - 2, 0) AS s, least(i + 1, len(toks)) AS e
       FROM pos WHERE tok = 'scan')
-SELECT DISTINCT a.doc_id, greatest(a.s, b.s) AS start, least(a.e, b.e) AS "end"
+SELECT DISTINCT 'overlap' AS variant, a.doc_id,
+       greatest(a.s, b.s) AS start, least(a.e, b.e) AS "end"
 FROM a JOIN b ON a.doc_id = b.doc_id AND a.s < b.e AND b.s < a.e
-""",
-        "span_andnot": f"""
-WITH {_POS_CTES}
-SELECT doc_id, i - 1 AS start, i + 1 AS "end"
+UNION ALL
+SELECT 'andnot', doc_id, i - 1, i + 1
 FROM pos WHERE tok = 'join' AND i + 1 <= len(toks) AND toks[i + 1] != 'scan'
+""",
+        "annot_chain": f"""
+WITH {_POS_CTES}
+SELECT 'adj' AS variant, doc_id, i - 1 AS start, i + 1 AS "end"
+FROM pos
+WHERE ({_pos_rule('tok')}) = 'func' AND i + 1 <= len(toks)
+  AND ({_LEMMA_RULE.format(x='toks[i + 1]')}) = 's'
+UNION ALL
+SELECT 'gap', p.doc_id, p.i - 1, p.i + g.g + 1
+FROM pos p CROSS JOIN (SELECT unnest([1, 2]) AS g) g
+WHERE ({_pos_rule('p.tok')}) = 'func' AND p.i + 1 + g.g <= len(p.toks)
+  AND ({_LEMMA_RULE.format(x='p.toks[p.i + 1 + g.g]')}) = 's'
 """,
         "posfilter_modes": f"""
 WITH {_POS_CTES},

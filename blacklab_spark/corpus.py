@@ -435,29 +435,36 @@ class Corpus:
 
     def positions_chain(
         self,
-        clauses: list[tuple[list[str], int]],
+        clauses: list[tuple],
         with_dl: bool = False,
-        vargap_tail: tuple[list[str], int, int, int] | None = None,
+        vargap_tail: tuple | None = None,
     ) -> DataFrame:
-        """Fixed-gap sequence run [(terms, offset)] → (doc_id, positions)
-        in run-start coordinates — the array-domain chain WITHOUT the
-        per-clause join: ONE doc-range shuffle of the clauses' COMPRESSED
-        posting blocks, then a partition-local numpy decode + sorted-key
-        intersect, rarest clause first. Later clauses skip whole blocks whose
-        [first_doc_id, last_doc_id] window holds no surviving candidate doc
-        (the score_range_and discipline applied to positions), so a
-        stop-word clause anchored by a rare clause decodes almost nothing.
-        vs the join formulation: the shuffle moves varint bytes instead of
-        decoded int64 position arrays, and the hash joins disappear.
-        Reference analog: SpansSequence over per-segment postings
+        """Fixed-gap sequence run [(terms, offset[, layer_corpus])] →
+        (doc_id, positions) in run-start coordinates — the array-domain
+        chain WITHOUT the per-clause join: ONE doc-range shuffle of the
+        clauses' COMPRESSED posting blocks, then a partition-local numpy
+        decode + sorted-key intersect, rarest clause first. Later clauses
+        skip whole blocks whose [first_doc_id, last_doc_id] window holds no
+        surviving candidate doc (the score_range_and discipline applied to
+        positions), so a stop-word clause anchored by a rare clause decodes
+        almost nothing. vs the join formulation: the shuffle moves varint
+        bytes instead of decoded int64 position arrays, and the hash joins
+        disappear. Reference analog: SpansSequence over per-segment postings
         (SpanQuerySequence.java) with ClauseCombinerNfa's rarest-first
         ordering.
 
-        `vargap_tail=(terms, width, gap_min, gap_max)` appends a VARIABLE-
-        finite-gap clause inside the SAME kernel pass — one extra intersect
-        per gap value — and switches the output to spans (doc_id, start,
-        end): the `run []{m,n} clause` shape without ever materializing the
-        prefix outside the partition."""
+        A clause may name another LAYER's Corpus as its third element
+        (r5, VERDICT #7): annotation layers share the docID space and token
+        positions by construction (annotated.build_annotated_index), so a
+        cross-layer chain like [lemma="x"] [pos="y"] co-locates each layer's
+        blocks in the same doc-range partition — blocks are keyed by
+        (layer, term_id) and the intersect is unchanged.
+
+        `vargap_tail=(terms, width, gap_min, gap_max[, layer_corpus])`
+        appends a VARIABLE-finite-gap clause inside the SAME kernel pass —
+        one extra intersect per gap value — and switches the output to spans
+        (doc_id, start, end): the `run []{m,n} clause` shape without ever
+        materializing the prefix outside the partition."""
         if vargap_tail is not None:
             out_schema = "doc_id long, start int, end int"
         else:
@@ -465,21 +472,42 @@ class Corpus:
                 "doc_id long, positions array<long>"
                 + (", dl int" if with_dl else "")
             )
+        layers: list[Corpus] = [self]
+
+        def _layer_idx(c: "Corpus" | None) -> int:
+            c = c or self
+            for i, x in enumerate(layers):
+                if x is c:
+                    return i
+            if c.n_docs != self.n_docs:
+                raise ValueError(
+                    "positions_chain layers must share the docID space "
+                    f"(n_docs {c.n_docs} != {self.n_docs})"
+                )
+            layers.append(c)
+            return len(layers) - 1
+
         infos = []
-        all_tids: set[int] = set()
-        for terms, off in clauses:
-            ti = self.lookup_terms(terms)
+        tids_by_layer: dict[int, set[int]] = {}
+        for cl in clauses:
+            terms, off = cl[0], cl[1]
+            lyr = _layer_idx(cl[2] if len(cl) > 2 else None)
+            ti = layers[lyr].lookup_terms(terms)
             tids = [int(t) for t in ti["term_id"]]
             if not tids:  # a vocab-miss clause empties the whole chain
                 return self.spark.createDataFrame([], out_schema)
-            infos.append((int(ti["df"].sum()), tids, int(off)))
-            all_tids.update(tids)
-        infos.sort(key=lambda t: (t[0], t[2]))
+            infos.append((int(ti["df"].sum()), lyr, tids, int(off)))
+            tids_by_layer.setdefault(lyr, set()).update(tids)
+        infos.sort(key=lambda t: (t[0], t[3]))
         tail_tids: list[int] = []
+        tail_lyr = 0
         shifts: list[int] = []
         if vargap_tail is not None:
-            t_terms, t_width, t_gmin, t_gmax = vargap_tail
-            tti = self.lookup_terms(t_terms)
+            t_terms, t_width, t_gmin, t_gmax = vargap_tail[:4]
+            tail_lyr = _layer_idx(
+                vargap_tail[4] if len(vargap_tail) > 4 else None
+            )
+            tti = layers[tail_lyr].lookup_terms(t_terms)
             tail_tids = [int(t) for t in tti["term_id"]]
             if not tail_tids:
                 return self.spark.createDataFrame([], out_schema)
@@ -492,11 +520,11 @@ class Corpus:
                 "positions_chain: docs-per-range too large for key packing; "
                 "raise spark.sql.shuffle.partitions"
             )
-        clause_tids = [tids for _, tids, _ in infos]
-        clause_offs = [off for _, _, off in infos]
+        clause_keys = [(lyr, tids) for _, lyr, tids, _ in infos]
+        clause_offs = [off for _, _, _, off in infos]
 
-        def _blocks(tids, role):
-            return self.postings.filter(
+        def _blocks(lyr, tids, role):
+            return layers[lyr].postings.filter(
                 F.col("term_id").isin(sorted(tids))
             ).select(
                 "term_id", "first_doc_id", "last_doc_id",
@@ -508,13 +536,17 @@ class Corpus:
                     )
                 ).alias("rng"),
                 F.lit(role).alias("role"),
+                F.lit(lyr).alias("lyr"),
             )
 
-        blocks = _blocks(all_tids, 0)
+        blocks = None
+        for lyr, tids in sorted(tids_by_layer.items()):
+            b = _blocks(lyr, tids, 0)
+            blocks = b if blocks is None else blocks.unionByName(b)
         if tail_tids:
             # a term can serve both a prefix clause AND the tail — emit its
             # blocks once per role
-            blocks = blocks.unionByName(_blocks(tail_tids, 1))
+            blocks = blocks.unionByName(_blocks(tail_lyr, tail_tids, 1))
         if vargap_tail is not None:
             empty_pdf = pd.DataFrame({
                 "doc_id": pd.Series(dtype="int64"),
@@ -532,8 +564,9 @@ class Corpus:
             rng = int(pdf["rng"].iloc[0])
             lo, hi = rng * R, (rng + 1) * R
             by_tid = {
-                int(tid): g
-                for tid, g in pdf[pdf["role"] == 0].groupby("term_id")
+                (int(lyr), int(tid)): g
+                for (lyr, tid), g in
+                pdf[pdf["role"] == 0].groupby(["lyr", "term_id"])
             }
 
             def member(cands, d):
@@ -544,7 +577,7 @@ class Corpus:
 
             running = None
             dl_docs, dl_vals = [], []  # exact dl, collected on the first clause
-            for ci, tids in enumerate(clause_tids):
+            for ci, (lyr, tids) in enumerate(clause_keys):
                 off = clause_offs[ci]
                 cand = None
                 if running is not None:
@@ -553,7 +586,7 @@ class Corpus:
                     cand = lo + np.unique(running // DOC_MULT)
                 parts = []
                 for tid in tids:
-                    g = by_tid.get(tid)
+                    g = by_tid.get((lyr, tid))
                     if g is None:
                         continue
                     if cand is not None:
@@ -599,7 +632,8 @@ class Corpus:
                 )
                 if running.size == 0:
                     return empty_pdf
-            if vargap_tail is not None:
+            if tail_tids:  # plain-data flag: the closure must not capture
+                #            vargap_tail (it may hold a Corpus → SparkContext)
                 # the variable-gap tail, same decode + candidate skipping;
                 # one intersect per gap value, spans out
                 cand = lo + np.unique(running // DOC_MULT)
@@ -675,18 +709,21 @@ class Corpus:
 
     def spans_chain_vargap(
         self,
-        clauses: list[tuple[list[str], int]],
+        clauses: list[tuple],
         width: int,
         tail_terms: list[str],
         gap_min: int,
         gap_max: int,
+        tail_corpus: "Corpus" | None = None,
     ) -> DataFrame:
         """`<fixed-gap run> []{gap_min,gap_max} <clause>` → spans
         (doc_id, start, end): the whole chain INCLUDING the variable-gap
         tail runs in one positions_chain kernel pass (no intermediate
-        materialization of the prefix)."""
+        materialization of the prefix). Clauses and the tail may name other
+        layers' Corpus objects (see positions_chain)."""
         return self.positions_chain(
-            clauses, vargap_tail=(tail_terms, width, gap_min, gap_max)
+            clauses,
+            vargap_tail=(tail_terms, width, gap_min, gap_max, tail_corpus),
         )
 
     def spans_seq_terms(

@@ -908,18 +908,21 @@ class CqlCompiler:
         "the" "of" "and" no longer intersects its two biggest arrays first.
         Layers may differ across the run: annotation layers are
         position-aligned by construction (annotated.build_annotated_index)."""
-        annots = {annot for annot, _, _ in run}
+        layer_objs = {a: self._layer(a) for a in {an for an, _, _ in run}}
         if (
-            len(annots) == 1
-            and len(run) > 1
-            and hasattr(self._layer(next(iter(annots))), "positions_chain")
+            len(run) > 1
+            and all(hasattr(c, "positions_chain") for c in layer_objs.values())
             and os.environ.get("BLACKLAB_SEQ_KERNEL") != "join"
         ):
-            # single-layer run: the doc-range co-located kernel — one shuffle
-            # of compressed blocks, partition-local rarest-first intersect
-            # with candidate block skipping (no per-clause join at all)
-            return self._layer(next(iter(annots))).positions_chain(
-                [(terms, off) for _, terms, off in run]
+            # the doc-range co-located kernel — one shuffle of compressed
+            # blocks, partition-local rarest-first intersect with candidate
+            # block skipping (no per-clause join at all). r5: cross-LAYER
+            # runs ([lemma="x"] [pos="y"]) ride the same kernel — layers
+            # share the docID space by construction, blocks are keyed
+            # (layer, term_id)
+            anchor = layer_objs[run[0][0]]
+            return anchor.positions_chain(
+                [(terms, off, layer_objs[a]) for a, terms, off in run]
             )
         infos = []
         for annot, terms, off in run:
@@ -1038,17 +1041,22 @@ class CqlCompiler:
                 if gmax < UNBOUNDED:
                     # variable finite gap: fold the run rarest-first, then
                     # one intersect per gap value, spans out — inside the
-                    # doc-range kernel when the whole chain is one layer
-                    run_annots = {a for a, _, _ in run}
-                    layer = self._layer(annot)
+                    # doc-range kernel (cross-layer runs included, r5)
+                    lobjs = {a: self._layer(a) for a, _, _ in run}
+                    anchor = lobjs[run[0][0]]
                     if (
-                        run_annots == {annot}
-                        and hasattr(layer, "spans_chain_vargap")
+                        hasattr(anchor, "spans_chain_vargap")
+                        and all(
+                            hasattr(c, "positions_chain")
+                            for c in lobjs.values()
+                        )
+                        and hasattr(self._layer(annot), "positions_chain")
                         and os.environ.get("BLACKLAB_SEQ_KERNEL") != "join"
                     ):
-                        acc = layer.spans_chain_vargap(
-                            [(t, off) for _, t, off in run],
+                        acc = anchor.spans_chain_vargap(
+                            [(t, off, lobjs[a]) for a, t, off in run],
                             run_width, terms, gmin, gmax,
+                            tail_corpus=self._layer(annot),
                         )
                         run, run_width = [], 0
                         continue

@@ -119,3 +119,24 @@ def test_word_only_corpus_rejects_lemma(spark, tmp_root):
     build_index(spark, spark.createDataFrame(fixture_corpus()), path, block_size=4)
     with pytest.raises(ValueError, match="unknown annotation"):
         Corpus(spark, path).find_cql('[lemma="x"]').collect()
+
+def test_cross_layer_chain_kernel_matches_join(acorp, monkeypatch):
+    # r5 (VERDICT #7): cross-layer fixed-gap chains (and the variable-gap
+    # tail) run in the positions-chain kernel — blocks keyed (layer,
+    # term_id), one doc-range shuffle. The BLACKLAB_SEQ_KERNEL=join baseline
+    # must produce identical spans for every chain shape.
+    queries = [
+        '[pos="det"] [lemma="dog"]',
+        '[pos="det"] [lemma="dog"] [word="bark.*"]',
+        '[lemma="dog"] []{0,2} [pos="verb"]',   # cross-layer vargap tail
+        '[word="a"] [] [lemma="bark"]',
+        '[pos="noun"] [pos="noun"]',
+    ]
+    kernel = {q: spans(acorp.find_cql(q)) for q in queries}
+    monkeypatch.setenv("BLACKLAB_SEQ_KERNEL", "join")
+    join = {q: spans(acorp.find_cql(q)) for q in queries}
+    monkeypatch.delenv("BLACKLAB_SEQ_KERNEL")
+    assert kernel == join
+    assert kernel['[pos="det"] [lemma="dog"]'] == [(0, 0, 2), (1, 0, 2)]
+    # non-empty guards: the parity must not be vacuous
+    assert all(kernel[q] for q in queries[:3]), kernel
