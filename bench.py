@@ -194,6 +194,26 @@ def main():
         c.search_or(["the", "of", "and"], k=10).collect()
         bm25_repeat = time.time() - t
 
+        # ---- append path (r5, VERDICT #8): add_to_index throughput +
+        # compaction wall. Between the append and the compaction the index
+        # serves EXACT scores with block-max WAND pruning disabled
+        # (meta.bounds_stale — the stored bounds are no longer upper bounds
+        # after df/avgdl moved); compact_index restores them.
+        from blacklab_spark.incremental import add_to_index, compact_index
+
+        app_n = max(int(n_turns * 0.05), 2_000)
+        app_pdf = make_transcripts(app_n, seed=43)
+        app_pdf["conv_id"] = "app-" + app_pdf["conv_id"]  # no key collision
+        app_df = spark.createDataFrame(app_pdf)
+        t = time.time()
+        add_to_index(spark, app_df, idx_dir)
+        append_sec = time.time() - t
+        with open(os.path.join(idx_dir, "_meta.json")) as f:
+            stale_window = bool(json.load(f).get("bounds_stale"))
+        t = time.time()
+        compact_index(spark, idx_dir)
+        compact_sec = time.time() - t
+
         probe_after = _cpu_probe()
 
         total = round(build_sec + sum(queries.values()), 4)
@@ -220,6 +240,13 @@ def main():
                 "rounds": n_rounds,
             },
             "queries_all_rounds": all_rounds,
+            "append": {
+                "turns": app_n,
+                "append_sec": round(append_sec, 3),
+                "turns_per_sec": round(app_n / append_sec, 2),
+                "wand_disabled_until_compact": stale_window,
+                "compact_sec": round(compact_sec, 3),
+            },
             **({"concurrent": conc} if conc else {}),
             "sf": sf,
             "cpus": cpus,
