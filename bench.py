@@ -199,20 +199,27 @@ def main():
         # serves EXACT scores with block-max WAND pruning disabled
         # (meta.bounds_stale — the stored bounds are no longer upper bounds
         # after df/avgdl moved); compact_index restores them.
+        # BENCH_APPEND=0 skips this stage (the scaling campaign measures the
+        # build/query paths; appending + compacting would double its wall)
+        do_append = os.environ.get("BENCH_APPEND", "1") != "0"
+        append_sec = compact_sec = 0.0
+        app_n = 0
+        stale_window = None
         from blacklab_spark.incremental import add_to_index, compact_index
 
-        app_n = max(int(n_turns * 0.05), 2_000)
-        app_pdf = make_transcripts(app_n, seed=43)
-        app_pdf["conv_id"] = "app-" + app_pdf["conv_id"]  # no key collision
-        app_df = spark.createDataFrame(app_pdf)
-        t = time.time()
-        add_to_index(spark, app_df, idx_dir)
-        append_sec = time.time() - t
-        with open(os.path.join(idx_dir, "_meta.json")) as f:
-            stale_window = bool(json.load(f).get("bounds_stale"))
-        t = time.time()
-        compact_index(spark, idx_dir)
-        compact_sec = time.time() - t
+        if do_append:
+            app_n = max(int(n_turns * 0.05), 2_000)
+            app_pdf = make_transcripts(app_n, seed=43)
+            app_pdf["conv_id"] = "app-" + app_pdf["conv_id"]  # no key collision
+            app_df = spark.createDataFrame(app_pdf)
+            t = time.time()
+            add_to_index(spark, app_df, idx_dir)
+            append_sec = time.time() - t
+            with open(os.path.join(idx_dir, "_meta.json")) as f:
+                stale_window = bool(json.load(f).get("bounds_stale"))
+            t = time.time()
+            compact_index(spark, idx_dir)
+            compact_sec = time.time() - t
 
         probe_after = _cpu_probe()
 
@@ -240,13 +247,13 @@ def main():
                 "rounds": n_rounds,
             },
             "queries_all_rounds": all_rounds,
-            "append": {
+            **({"append": {
                 "turns": app_n,
                 "append_sec": round(append_sec, 3),
                 "turns_per_sec": round(app_n / append_sec, 2),
                 "wand_disabled_until_compact": stale_window,
                 "compact_sec": round(compact_sec, 3),
-            },
+            }} if do_append else {}),
             **({"concurrent": conc} if conc else {}),
             "sf": sf,
             "cpus": cpus,

@@ -16,18 +16,33 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 REPEATS = int(os.environ.get("BENCH_REPEATS", "3"))
+# probe gate (VERDICT r4 #4): a run whose bracketing CPU probes fall below
+# this Mops floor ran in a degraded host window and is retried, not
+# accepted — clean windows on this box probe ~125-140 Mops (BENCH_r04)
+PROBE_FLOOR = float(os.environ.get("BENCH_PROBE_FLOOR", "0"))
+PROBE_RETRIES = int(os.environ.get("BENCH_PROBE_RETRIES", "2"))
 
 
 def run_once(cpus: int, turns: int) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["BENCH_TURNS"] = str(turns)
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
-        capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
-    )
-    line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
-    return json.loads(line)
+    for attempt in range(PROBE_RETRIES + 1):
+        out = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            capture_output=True, text=True, env=env, cwd=REPO, timeout=3600,
+        )
+        line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
+        r = json.loads(line)
+        pr = r.get("probe", {})
+        pmin = min(pr.get("before_mops", 0), pr.get("after_mops", 0))
+        if not PROBE_FLOOR or pmin >= PROBE_FLOOR:
+            return r
+        print(f"# probe {pmin} < floor {PROBE_FLOOR} (cpus={cpus}, "
+              f"attempt {attempt + 1}) — degraded window, retrying",
+              file=sys.stderr)
+    r["probe_below_floor"] = True
+    return r
 
 
 def run_interleaved(cpu_levels: list[int], turns: int) -> dict[int, dict]:
@@ -99,6 +114,13 @@ def main():
              f"{conc_speedup:.2f}x | **{conc_eff:.2f}** |"]
             if conc_eff is not None else []
         ),
+        "",
+        f"Probe-bracketed (floor {PROBE_FLOOR or 'off'} Mops): "
+        f"local[{n_small}] {small.get('probe')} · "
+        f"local[{n_big}] {big.get('probe')}"
+        + (" — **a level stayed below the floor after retries**"
+           if small.get("probe_below_floor") or big.get("probe_below_floor")
+           else ""),
         "",
         "Per-query seconds:",
         "",
