@@ -1194,6 +1194,21 @@ class Corpus:
             lambda: find_cql(self, query),
         )
 
+    def count_hits(self, query: str, max_count: int | None = None) -> DataFrame:
+        """Hit count for a BCQL query with the reference's maxHitsToCount
+        contract (SearchSettings.java): capped counts stop early and report
+        (min(n, cap), is_lower_bound) — the "≥N" a serving UI shows for
+        expensive queries. Uncapped = exact count, flag 0."""
+        from blacklab_spark.operators.grouping import capped_count
+
+        hits_df = self.find_cql(query)
+        if max_count is None:
+            return hits_df.agg(
+                F.count("*").alias("n_hits"),
+                F.lit(0).alias("is_lower_bound"),
+            )
+        return capped_count(hits_df, max_count)
+
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Parse a query string (mini-BCQL: terms / quoted phrase / /regex/)
         and run top-k BM25."""

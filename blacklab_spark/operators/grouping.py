@@ -199,6 +199,30 @@ def doc_results(docs: DataFrame, term: str, max_stored: int = 3) -> DataFrame:
     return doc_results_hits(hits(docs, term), max_stored)
 
 
+def capped_count(hits_df: DataFrame, max_count: int) -> DataFrame:
+    """maxHitsToCount (SearchSettings, /root/reference/engine/src/main/java/
+    nl/inl/blacklab/search/results/SearchSettings.java): stop counting at
+    the cap and report a LOWER BOUND instead of scanning every hit. One row:
+    (n_hits = min(true_n, cap), is_lower_bound) — "≥N" when capped, exact
+    otherwise. Physical shape: limit(cap+1) + count compiles to
+    CollectLimit — partitions stop producing once the limit is reached, so
+    a runaway query costs O(cap), not O(hits), exactly the reference's
+    per-request cap contract."""
+    c = hits_df.limit(max_count + 1).agg(F.count("*").alias("_n"))
+    return c.select(
+        F.least(F.col("_n"), F.lit(max_count).cast("long")).alias("n_hits"),
+        (F.col("_n") > max_count).cast("int").alias("is_lower_bound"),
+    )
+
+
+def process_window(hits_df: DataFrame, max_process: int) -> DataFrame:
+    """maxHitsToProcess: downstream operators (sort/group/kwic) see at most
+    this many hits — the reference stops RETRIEVING past the cap and marks
+    later stats as estimates. An unordered limit takes the first hits
+    encountered, matching the reference's first-N semantics."""
+    return hits_df.limit(max_process)
+
+
 def collation_key(col: str) -> F.Column:
     """BlackLab's INSENSITIVE collation key as a plain expression: lowercase
     + accent/digraph fold — the reference's desensitized collator is built

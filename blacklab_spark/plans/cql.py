@@ -25,6 +25,11 @@ postings-backed span algebra:
                              containing / starts_at / ends_at / matches /
                              containing_at_start / containing_at_end, with
                              an optional invert flag (XFDebug _posfilter)
+    _ident(A) / _adjust(A,'s','e') / _edge(A,'leading|trailing') /
+    _lenfilter(A,'min','max') / _fixed('s','e') / _indoc(A,'docid')
+                             the rest of the extension-function registry
+                             (XFDebug.java:26-115), each mapped onto the
+                             corresponding span operator
     lab:X                    capture group -> c_<lab>_s / c_<lab>_e columns
     q :: lab.word = lab2.pos    global constraints via the forward index of
                                 the referenced layer (MatchFilterEquals
@@ -64,6 +69,11 @@ MAX_ALTERNATIVES = 64  # cap for optional-unit expansion
 _PLAIN_TERM = re.compile(r"^(?:[^\W_A-Z]|')+$")
 _PLAIN_TERM_ANYCASE = re.compile(r"^(?:[^\W_]|')+$")
 _SENS_FLAG = re.compile(r"^\(\?(?:-i|c)\)")  # (?-i) / (?c): case-sensitive
+
+# query extension functions mapped onto span operators (reference registry
+# XFDebug.java:26-115; grammar hook cql.jj:544-558). _posfilter and rspan
+# have dedicated nodes; these share the generic XFuncNode.
+_XFUNCS = {"_ident", "_adjust", "_edge", "_lenfilter", "_fixed", "_indoc"}
 
 
 # ------------------------------------------------------------------- AST ----
@@ -147,6 +157,13 @@ class AlignNode:           # A =reltype=>version B — cross-field alignment
 
 
 @dataclass(frozen=True)
+class XFuncNode:          # query extension function (XFDebug/XFSpans family)
+    fname: str            # _ident | _adjust | _edge | _lenfilter | _fixed | _indoc
+    node: object | None   # the query argument (None for _fixed)
+    args: tuple = ()      # string arguments, reference defaults applied
+
+
+@dataclass(frozen=True)
 class Constraint:         # lhs/rhs: ("cap", label) or ("lit", value)
     lhs: tuple
     rhs: tuple
@@ -173,7 +190,7 @@ _TOKEN_RE = re.compile(
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
     | (?P<amp>&) | (?P<pipe>\|) | (?P<neq>!=) | (?P<eq>=) | (?P<dot>\.)
     | (?P<str>"(?:[^"\\]|\\.)*")
-    | (?P<sqstr>'[A-Za-z_]*')
+    | (?P<sqstr>'-?[A-Za-z0-9_]*')
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<comma>,)
     | (?P<colon>:)
@@ -410,6 +427,23 @@ class _Parser:
                     f"one of {POSFILTER_OPS}"
                 )
             return PosFilterNode(prod, filt, mode, invert)
+        if self.peek("ident") and self.peek("ident")[1] in _XFUNCS:
+            # the rest of the reference's extension-function family
+            # (XFDebug.java:26-115): _ident / _adjust / _edge / _lenfilter /
+            # _fixed / _indoc — each maps onto an existing span operator
+            fname = self.eat("ident")
+            self.eat("lpar")
+            node = None
+            args = []
+            if fname == "_fixed":  # all-string args (start, end)
+                args.append(self._str_arg())
+            else:
+                node = self.relquery()
+            while self.peek("comma"):
+                self.eat("comma")
+                args.append(self._str_arg())
+            self.eat("rpar")
+            return XFuncNode(fname, node, tuple(args))
         if self.peek("ident") and self.peek("ident")[1] == "rspan":
             # rspan(A -rel-> B, 'mode') — adjust the relation match's span
             # (cql.jj relation functions; RelationInfo.SpanMode:83-96)
@@ -754,9 +788,49 @@ class CqlCompiler:
                 "doc_id", s.cast("int").alias("start"),
                 e.cast("int").alias("end"), *keep,
             )
+        if isinstance(node, XFuncNode):
+            return self._compile_xfunc(node)
         if isinstance(node, Lookahead):
             raise ValueError("a lookahead needs a preceding clause in a sequence")
         raise TypeError(node)
+
+    def _compile_xfunc(self, node: XFuncNode) -> DataFrame:
+        """Extension-function dispatch, reference defaults preserved
+        (XFDebug.java: _adjust(q, 0, 0), _edge(q, 'leading'),
+        _lenfilter(q, 0, 0), _fixed(s, e), _indoc(q, docid), _ident(q))."""
+        a = node.args
+        if node.fname == "_fixed":
+            if len(a) != 2:
+                raise ValueError("_fixed takes exactly ('start', 'end')")
+            return S.fixed_span(self.c.doc_lengths(), int(a[0]), int(a[1]))
+        inner = self.compile(node.node)
+        if node.fname == "_ident":
+            return inner
+        if node.fname == "_indoc":
+            if len(a) != 1:
+                raise ValueError("_indoc takes exactly one docId argument")
+            return inner.filter(F.col("doc_id") == int(a[0]))
+        if node.fname == "_adjust":
+            s_adj = int(a[0]) if len(a) > 0 else 0
+            e_adj = int(a[1]) if len(a) > 1 else 0
+            # withColumn (not S.adjust_hits' bare select) so capture
+            # columns survive the shift, like SpanQueryAdjustHits
+            out = inner.withColumn(
+                "start", (F.col("start") + s_adj).cast("int")
+            ).withColumn("end", (F.col("end") + e_adj).cast("int"))
+            return out.filter(
+                (F.col("start") >= 0) & (F.col("end") >= F.col("start"))
+            )
+        if node.fname == "_edge":
+            direction = a[0] if a else "leading"
+            if direction not in ("leading", "trailing"):
+                raise ValueError(f"_edge direction {direction!r}")
+            return S.edge(inner, trailing=direction == "trailing")
+        if node.fname == "_lenfilter":
+            mn = int(a[0]) if len(a) > 0 else 0
+            mx = int(a[1]) if len(a) > 1 else 0
+            return S.filter_by_length(inner, mn, mx if mx > 0 else None)
+        raise ValueError(f"unknown extension function {node.fname!r}")
 
     def _static_width(self, node) -> int | None:
         """Token width of every span the node can produce, when statically
@@ -782,6 +856,20 @@ class CqlCompiler:
             return self._static_width(node.q)
         if isinstance(node, PosFilterNode):
             return self._static_width(node.producer)
+        if isinstance(node, XFuncNode):
+            if node.fname == "_fixed":
+                return int(node.args[1]) - int(node.args[0])
+            if node.fname == "_edge":
+                return 0
+            if node.fname in ("_ident", "_indoc"):
+                return self._static_width(node.node)
+            if node.fname == "_adjust":
+                w = self._static_width(node.node)
+                if w is None:
+                    return None
+                s = int(node.args[0]) if len(node.args) > 0 else 0
+                e = int(node.args[1]) if len(node.args) > 1 else 0
+                return w + e - s
         return None
 
     def _compile_unit(self, u: Unit) -> DataFrame:

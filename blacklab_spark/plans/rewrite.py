@@ -34,6 +34,7 @@ from blacklab_spark.plans.cql import (
     RspanNode,
     SeqNode,
     Unit,
+    XFuncNode,
 )
 
 
@@ -120,6 +121,13 @@ def rewrite(node):
             if inner is node.node:
                 return node
             node = RspanNode(inner, node.mode)
+        elif isinstance(node, XFuncNode):
+            if node.node is None:
+                return node
+            inner = rewrite(node.node)
+            if inner is node.node:
+                return node
+            node = XFuncNode(node.fname, inner, node.args)
         elif isinstance(node, AlignNode):
             s = rewrite(node.src)
             t = None if node.tgt is None else rewrite(node.tgt)

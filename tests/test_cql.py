@@ -386,3 +386,42 @@ def test_posfilter_infix_equivalence(cidx):
 def test_posfilter_unknown_op_rejected(cidx):
     with pytest.raises(ValueError, match="unknown _posfilter operation"):
         cidx.find_cql("_posfilter([], [], 'sideways')")
+
+
+def test_extension_functions(cidx):
+    # the XFDebug registry beyond _posfilter/rspan (r5, VERDICT missing #5):
+    # each maps onto an existing span operator
+    base = spans(cidx.find_cql('"the" "quick"'))
+    assert base == [(0, 0, 2), (5, 0, 2)]
+    assert spans(cidx.find_cql('_ident(("the" "quick"))')) == base
+    assert spans(cidx.find_cql("_adjust((\"the\" \"quick\"), '1', '0')")) == [
+        (0, 1, 2), (5, 1, 2)
+    ]
+    assert spans(cidx.find_cql('_edge(("the" "quick"))')) == [
+        (0, 0, 0), (5, 0, 0)
+    ]
+    assert spans(cidx.find_cql("_edge((\"the\" \"quick\"), 'trailing')")) == [
+        (0, 2, 2), (5, 2, 2)
+    ]
+    # length filter over variable-width producer == the tighter generator
+    assert spans(cidx.find_cql("_lenfilter([]{1,3}, '2', '3')")) == spans(
+        cidx.find_cql("[]{2,3}")
+    )
+    # constant span in every doc long enough (dl >= 2: docs 0,1,2,3,5)
+    assert spans(cidx.find_cql("_fixed('0', '2')")) == [
+        (0, 0, 2), (1, 0, 2), (2, 0, 2), (3, 0, 2), (5, 0, 2)
+    ]
+    assert spans(cidx.find_cql("_indoc(\"the\", '0')")) == [
+        (0, 0, 1), (0, 6, 7)
+    ]
+
+
+def test_count_hits_caps(cidx):
+    # SearchSettings maxHitsToCount (r5, VERDICT missing #4): capped counts
+    # stop early and report a lower bound
+    exact = cidx.count_hits('"the"').collect()[0]
+    assert (exact["n_hits"], exact["is_lower_bound"]) == (7, 0)
+    capped = cidx.count_hits('"the"', max_count=2).collect()[0]
+    assert (capped["n_hits"], capped["is_lower_bound"]) == (2, 1)
+    under = cidx.count_hits('"the"', max_count=100).collect()[0]
+    assert (under["n_hits"], under["is_lower_bound"]) == (7, 0)
