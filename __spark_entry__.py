@@ -997,7 +997,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             S.span_and_not(c.find_cql('"join" []'), c.find_cql('"join" "scan"')),
             "start", "end",
         ).select(F.lit("andnot").alias("variant"), "doc_id", "start", "end")
-        return ov.unionByName(an)
+        out = ov.unionByName(an)
+        # r5: the extension-function registry probes (XFDebug.java:26-115),
+        # previously pytest-only — adjust / edge / fixed / length-filter
+        # each get an oracle-checked part through the BCQL surface
+        xf = {
+            "xf_adjust": "_adjust((\"table\" []), '1', '0')",
+            "xf_edge": "_edge((\"table\" []), 'trailing')",
+            "xf_fixed": "_fixed('0', '2')",
+            "xf_lenfilter": "_lenfilter((\"table\" []{0,1}), '2', '2')",
+        }
+        for tag, q in xf.items():
+            out = out.unionByName(
+                _to_orig(c, c.find_cql(q), "start", "end").select(
+                    F.lit(tag).alias("variant"), "doc_id", "start", "end"
+                )
+            )
+        return out
 
     def annot_chain(spark, sf_dir):
         # r5 (VERDICT #7): CROSS-LAYER sequence chains through the
@@ -1761,6 +1777,22 @@ FROM a JOIN b ON a.doc_id = b.doc_id AND a.s < b.e AND b.s < a.e
 UNION ALL
 SELECT 'andnot', doc_id, i - 1, i + 1
 FROM pos WHERE tok = 'join' AND i + 1 <= len(toks) AND toks[i + 1] != 'scan'
+UNION ALL
+-- _adjust(("table" []), '1', '0'): start shifted right by one
+SELECT 'xf_adjust', doc_id, i, i + 1
+FROM pos WHERE tok = 'table' AND i + 1 <= len(toks)
+UNION ALL
+-- _edge(("table" []), 'trailing'): zero-length trailing edges
+SELECT 'xf_edge', doc_id, i + 1, i + 1
+FROM pos WHERE tok = 'table' AND i + 1 <= len(toks)
+UNION ALL
+-- _fixed('0', '2'): the constant [0,2) span in every doc with dl >= 2
+SELECT 'xf_fixed', doc_id, 0, 2
+FROM (SELECT doc_id, len(toks) AS dl FROM t) WHERE dl >= 2
+UNION ALL
+-- _lenfilter(("table" []{0,1}), '2', '2'): only the width-2 variants
+SELECT 'xf_lenfilter', doc_id, i - 1, i + 1
+FROM pos WHERE tok = 'table' AND i + 1 <= len(toks)
 """,
         "annot_chain": f"""
 WITH {_POS_CTES}
