@@ -43,6 +43,8 @@ def _tok_match(expr, tok: str) -> bool:
 
 
 def _atom_spans(node, toks: list[str]) -> set[tuple[int, int]]:
+    if isinstance(node, PosFilterNode):  # _posfilter(...) used as an atom
+        return _eval_doc(node, toks)
     if isinstance(node, AnyToken):
         return {(i, i + 1) for i in range(len(toks))}
     if isinstance(node, TokenNode):
@@ -103,16 +105,17 @@ def _eval_doc(node, toks) -> set[tuple[int, int]]:
     if isinstance(node, PosFilterNode):
         prod = _eval_doc(node.producer, toks)
         filt = _eval_doc(node.filt, toks)
-        if node.op == "within":
-            sel = {
-                p for p in prod
-                if any(f[0] <= p[0] and p[1] <= f[1] for f in filt)
-            }
-        else:
-            sel = {
-                p for p in prod
-                if any(p[0] <= f[0] and f[1] <= p[1] for f in filt)
-            }
+        preds = {  # SpansPositionFilter.java:332-495, all 7 Operation modes
+            "within": lambda p, f: f[0] <= p[0] and p[1] <= f[1],
+            "containing": lambda p, f: p[0] <= f[0] and f[1] <= p[1],
+            "starts_at": lambda p, f: f[0] == p[0],
+            "ends_at": lambda p, f: f[1] == p[1],
+            "matches": lambda p, f: f[0] == p[0] and f[1] == p[1],
+            "containing_at_start": lambda p, f: f[0] == p[0] and f[1] <= p[1],
+            "containing_at_end": lambda p, f: f[0] >= p[0] and f[1] == p[1],
+        }
+        pred = preds[node.op]
+        sel = {p for p in prod if any(pred(p, f) for f in filt)}
         return sel if not node.invert else prod - sel
     return _atom_spans(node, toks)
 
@@ -149,6 +152,11 @@ _seq = st.builds(
     st.one_of(st.none(), _unit),
 )
 
+_posfilter_op = st.sampled_from([
+    "within", "containing", "starts_at", "ends_at", "matches",
+    "containing_at_start", "containing_at_end",
+])
+
 _query = st.one_of(
     _seq,
     st.builds(lambda a, b: f"{a} | {b}", _seq, _seq),
@@ -156,6 +164,12 @@ _query = st.one_of(
     st.builds(lambda a, b: f"{a} within ({b})", _seq, _seq),
     st.builds(lambda a, b: f"{a} !within ({b})", _seq, _seq),
     st.builds(lambda a, b: f"{a} containing ({b})", _seq, _seq),
+    # r5: the full position-filter Operation set ±invert
+    st.builds(
+        lambda a, b, op, inv:
+            f"_posfilter(({a}), ({b}), '{op}', '{str(inv).lower()}')",
+        _seq, _seq, _posfilter_op, st.booleans(),
+    ),
     st.builds(lambda a, b: f"{a} (?= {b})", _seq, _unit),
     st.builds(lambda a, b: f"{a} (?! {b})", _seq, _unit),
 )
