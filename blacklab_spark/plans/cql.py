@@ -1049,19 +1049,32 @@ class CqlCompiler:
         (_run_positions), one shift-explode per VARIABLE finite gap — so a
         whole stop-word phrase shuffles doc rows, never position rows. Only
         captures, repetitions, any-token units and unbounded gaps fall back
-        to the row-level _seq_join."""
+        to the row-level _seq_join. r5: runs AFTER a materialized prefix
+        (e.g. following a capture unit or a second variable gap) also fold
+        in the kernel and join the prefix ONCE — a chain broken by one
+        non-kernel unit costs one row join, not one per remaining clause."""
         acc = None
-        run: list[tuple[str, list[str], int]] = []  # array-domain prefix run
+        run: list[tuple[str, list[str], int]] = []  # array-domain clause run
         run_width = 0
+        # gap between the materialized prefix and the current run's start
+        # (None while the run IS the prefix)
+        run_gap: tuple[int, int] | None = None
         lead_gap: tuple[int, int] | None = None
         pend_gap: tuple[int, int] | None = None
         any_total = None
 
         def materialize() -> None:
-            nonlocal acc, run, run_width
-            if acc is None and run:
-                acc = S.spans_from_positions(self._run_positions(run), run_width)
-            run, run_width = [], 0
+            nonlocal acc, run, run_width, run_gap
+            if run:
+                sp = S.spans_from_positions(
+                    self._run_positions(run), run_width
+                )
+                if acc is None:
+                    acc = sp
+                else:
+                    g = run_gap or (0, 0)
+                    acc = self._seq_join(acc, sp, g[0], g[1])
+            run, run_width, run_gap = [], 0, None
 
         for u in units:
             if isinstance(u.node, AnyToken) and u.label is None:
@@ -1119,13 +1132,24 @@ class CqlCompiler:
                 continue
             gmin, gmax = pend_gap or (0, 0)
             pend_gap = None
+            if pc is not None and run and gmin == gmax:
+                # fixed gap: stay in the array domain, width grows —
+                # prefix AND suffix runs alike
+                annot, terms = pc
+                run.append((annot, terms, run_width + gmin))
+                run_width += gmin + 1
+                continue
+            if pc is not None and not run:
+                # start a SUFFIX run after the materialized prefix (r5):
+                # subsequent fixed-gap clauses fold in the kernel and the
+                # prefix is joined ONCE when the run closes
+                annot, terms = pc
+                run = [(annot, terms, 0)]
+                run_width = 1
+                run_gap = (gmin, gmax)
+                continue
             if acc is None and run and pc is not None:
                 annot, terms = pc
-                if gmin == gmax:
-                    # fixed gap: stay in the array domain, width grows
-                    run.append((annot, terms, run_width + gmin))
-                    run_width += gmin + 1
-                    continue
                 if gmax < UNBOUNDED:
                     # variable finite gap: fold the run rarest-first, then
                     # one intersect per gap value, spans out — inside the
@@ -1156,6 +1180,16 @@ class CqlCompiler:
                         gmin, gmax,
                     )
                     continue
+            if pc is not None and run:
+                # variable gap inside a SUFFIX run (or unbounded gap after a
+                # prefix run): close the run — one join — and start the next
+                # run after the gap
+                materialize()
+                annot, terms = pc
+                run = [(annot, terms, 0)]
+                run_width = 1
+                run_gap = (gmin, gmax)
+                continue
             materialize()
             acc = self._seq_join(acc, self._compile_unit(u), gmin, gmax)
         materialize()

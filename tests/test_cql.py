@@ -425,3 +425,34 @@ def test_count_hits_caps(cidx):
     assert (capped["n_hits"], capped["is_lower_bound"]) == (2, 1)
     under = cidx.count_hits('"the"', max_count=100).collect()[0]
     assert (under["n_hits"], under["is_lower_bound"]) == (7, 0)
+
+
+def test_suffix_runs_fold_after_prefix_break(cidx):
+    # r5: fixed-gap clause runs AFTER a materialized prefix (capture /
+    # repetition / second variable gap) fold in the kernel and join the
+    # prefix once; results must match the naive evaluator and the join-path
+    # baseline exactly
+    from blacklab_spark.tokenizer import tokenize
+    from tests.test_cql_fuzz import eval_cql
+
+    from blacklab_spark.datagen import fixture_corpus
+
+    toks = {i: tokenize(t) for i, t in enumerate(fixture_corpus()["text"])}
+    queries = [
+        '"to"+ "be" "or" "not"',              # repetition head + suffix run
+        '"may" []{0,1} "the" []{0,1} "force" "be"',  # two variable gaps
+        '"the" []* "dog"',                    # unbounded gap then run
+        '"to" "be"{1,2} "or" "not" "to"',     # quantified mid-unit break
+    ]
+    for q in queries:
+        got = spans(cidx.find_cql(q).select("doc_id", "start", "end"))
+        want = sorted(eval_cql(q, toks))
+        assert got == want, q
+        assert want, f"vacuous probe {q}"
+    # capture break: suffix run must preserve the capture columns
+    df = cidx.find_cql('A:[] "quick" "brown" "fox"')
+    rows = sorted(
+        (r["doc_id"], r["start"], r["end"], r["c_A_s"], r["c_A_e"])
+        for r in df.collect()
+    )
+    assert rows == [(0, 0, 4, 0, 1), (5, 0, 4, 0, 1)]
