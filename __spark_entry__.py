@@ -857,7 +857,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         ).limit(25).select(
             F.lit("after").alias("part"), "doc_id", "pos", "context"
         )
-        return page.unionByName(after)
+        # r5: the maxHitsToCount cap contract (SearchSettings) as checked
+        # rows — (doc_id column carries the count, pos the lower-bound
+        # flag): capped at 25 → (25, 1); effectively-uncapped → (true_n, 0)
+        def count_part(tag, cap):
+            return grouping.capped_count(eh, cap).select(
+                F.lit(tag).alias("part"),
+                F.col("n_hits").alias("doc_id"),
+                F.col("is_lower_bound").cast("int").alias("pos"),
+                F.lit("").alias("context"),
+            )
+
+        return (
+            page.unionByName(after)
+            .unionByName(count_part("count_capped", 25))
+            .unionByName(count_part("count_exact", 1 << 30))
+        )
 
     def parallel_align(spark, sf_dir):
         # cross-field alignment (`==>`, SpanQueryOtherFieldHits): two probes
@@ -1595,6 +1610,11 @@ SELECT 'after' AS part, doc_id, pos, context FROM (
   SELECT doc_id, pos, context FROM h
   ORDER BY context ASC, doc_id ASC, pos ASC LIMIT 25
 )
+UNION ALL
+SELECT 'count_capped', least(n, 25), CASE WHEN n > 25 THEN 1 ELSE 0 END, ''
+FROM (SELECT count(*) AS n FROM h)
+UNION ALL
+SELECT 'count_exact', n, 0, '' FROM (SELECT count(*) AS n FROM h)
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS kept_id, count(*) AS group_size

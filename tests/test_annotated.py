@@ -104,6 +104,19 @@ def test_annotated_append(spark, tmp_root, tmp_path_factory):
     # new doc visible across layers: cats/cat/NOUN at (3,0)
     assert spans(ac.find_cql('[lemma="cat"]')) == [(3, 0, 1)]
     assert spans(ac.find_cql('[word="bark" & pos="verb"]')) == [(0, 2, 3), (3, 1, 2)]
+    # r5: cross-layer chains through the kernel on the MULTI-SEGMENT
+    # (appended) index must match the join baseline — the appended segment's
+    # block_no offsets and docID shifts ride the same (layer, term_id) keying
+    import os
+    chain_qs = ['[pos="noun"] [pos="verb"]', '[lemma="cat"] []{0,1} [pos="verb"]']
+    kernel = {q: spans(ac.find_cql(q)) for q in chain_qs}
+    os.environ["BLACKLAB_SEQ_KERNEL"] = "join"
+    try:
+        join_r = {q: spans(ac.find_cql(q)) for q in chain_qs}
+    finally:
+        del os.environ["BLACKLAB_SEQ_KERNEL"]
+    assert kernel == join_r
+    assert kernel['[pos="noun"] [pos="verb"]'] == [(0, 1, 3), (1, 1, 3), (3, 0, 2)]
 
 
 def test_unknown_layer_errors(acorp):
