@@ -179,6 +179,54 @@ def rspan_all(spans_with_rel_caps: DataFrame) -> DataFrame:
 #
 # where positions on each side are in THAT version's token space.
 
+def capture_relations_within(
+    spans_df: DataFrame,
+    rels: DataFrame,
+    name: str = "captured_rels",
+    rel_type: str = ".*",
+) -> DataFrame:
+    """rcapture(query, captureAs, relationType) — capture ALL relations of
+    a matching type whose (envelope) span lies WITHIN each hit
+    (XFRelations.rcapture, /root/reference/engine/src/main/java/nl/inl/
+    blacklab/search/extensions/XFRelations.java:178-186 →
+    SpanQueryCaptureRelationsWithinSpan). A root relation's envelope is its
+    target span (no source). Spark-first shape: the captured set is a
+    `c_<name>` column of sorted "type:src_s-src_e>tgt_s-tgt_e" strings
+    (deterministic, hashable) — one doc_id-keyed join + one groupBy over
+    the hit's own columns; hits with no relations keep an empty array."""
+    cols = spans_df.columns
+    h = spans_df.dropDuplicates(cols).alias("h")
+    r = rels.filter(
+        F.col("rel_type").rlike("^(?:" + rel_type + ")$")
+    ).alias("r")
+    env_s = F.when(
+        F.col("r.src_start") == -1, F.col("r.tgt_start")
+    ).otherwise(F.least("r.src_start", "r.tgt_start"))
+    env_e = F.when(
+        F.col("r.src_start") == -1, F.col("r.tgt_end")
+    ).otherwise(F.greatest("r.src_end", "r.tgt_end"))
+    rel_str = F.when(  # null on a left-join miss — collect_list drops nulls
+        F.col("r.doc_id").isNotNull(),
+        F.concat_ws(
+            "", F.col("r.rel_type"), F.lit(":"),
+            F.col("r.src_start"), F.lit("-"), F.col("r.src_end"),
+            F.lit(">"), F.col("r.tgt_start"), F.lit("-"), F.col("r.tgt_end"),
+        ),
+    )
+    j = h.join(
+        r,
+        (F.col("h.doc_id") == F.col("r.doc_id"))
+        & (env_s >= F.col("h.start")) & (env_e <= F.col("h.end")),
+        "left",
+    )
+    hcols = [F.col(f"h.{c}") for c in cols]
+    return (
+        j.select(*hcols, rel_str.alias("_rs"))
+        .groupBy(*[F.col(c) for c in cols])
+        .agg(F.sort_array(F.collect_list("_rs")).alias(f"c_{name}"))
+    )
+
+
 ALIGN_COLS = [
     "doc_id", "rel_type", "src_start", "src_end",
     "tgt_field", "tgt_start", "tgt_end",

@@ -30,6 +30,9 @@ postings-backed span algebra:
                              the rest of the extension-function registry
                              (XFDebug.java:26-115), each mapped onto the
                              corresponding span operator
+    rcapture(A[,'label'[,'type']])   capture all type-matching relations
+                             within each hit as a sorted string list
+                             (XFRelations.rcapture)
     lab:X                    capture group -> c_<lab>_s / c_<lab>_e columns
     q :: lab.word = lab2.pos    global constraints via the forward index of
                                 the referenced layer (MatchFilterEquals
@@ -154,6 +157,13 @@ class AlignNode:           # A =reltype=>version B — cross-field alignment
     rel_type: str          # anchored regex over alignment relation types
     version: str           # target field version suffix (word__<version>)
     tgt: object | None     # right query in the TARGET field; None = `_`
+
+
+@dataclass(frozen=True)
+class RcaptureNode:        # rcapture(q, 'label', 'type') — capture all
+    node: object           # type-matching relations within each hit
+    label: str = "captured_rels"
+    rel_type: str = ".*"
 
 
 @dataclass(frozen=True)
@@ -391,11 +401,14 @@ class _Parser:
         return Unit(node, m, n, label)
 
     def _str_arg(self) -> str:
-        """A 'single-quoted' or bare-ident string argument of a function-
-        style atom (the reference's query extension functions take string
-        args, cql.jj :544-558)."""
+        """A 'single-quoted', "double-quoted", or bare-ident string argument
+        of a function-style atom (the reference's query extension functions
+        take string args, cql.jj :544-558); double quotes admit regex
+        metacharacters (e.g. a relation-type pattern)."""
         if self.peek("sqstr"):
             return self.eat("sqstr")[1:-1]
+        if self.peek("str"):
+            return _unquote(self.eat("str"))
         return self.eat("ident")
 
     # atom := '[' tokexpr? ']' | STR | '(' seq ')'
@@ -444,6 +457,21 @@ class _Parser:
                 args.append(self._str_arg())
             self.eat("rpar")
             return XFuncNode(fname, node, tuple(args))
+        if self.peek("ident") and self.peek("ident")[1] == "rcapture":
+            # rcapture(q[, 'label'[, 'type']]) — XFRelations.rcapture
+            # (XFRelations.java:178-186; defaults captured_rels / any type)
+            self.eat("ident")
+            self.eat("lpar")
+            inner = self.relquery()
+            label, rtype = "captured_rels", ".*"
+            if self.peek("comma"):
+                self.eat("comma")
+                label = self._str_arg()
+            if self.peek("comma"):
+                self.eat("comma")
+                rtype = self._str_arg()
+            self.eat("rpar")
+            return RcaptureNode(inner, label, rtype)
         if self.peek("ident") and self.peek("ident")[1] == "rspan":
             # rspan(A -rel-> B, 'mode') — adjust the relation match's span
             # (cql.jj relation functions; RelationInfo.SpanMode:83-96)
@@ -790,6 +818,20 @@ class CqlCompiler:
             )
         if isinstance(node, XFuncNode):
             return self._compile_xfunc(node)
+        if isinstance(node, RcaptureNode):
+            if self.relations is None:
+                raise ValueError(
+                    "rcapture() on a corpus without an indexed relations "
+                    "table (build_relations)"
+                )
+            from blacklab_spark.operators.relations import (
+                capture_relations_within,
+            )
+
+            return capture_relations_within(
+                self.compile(node.node), self.relations,
+                node.label, node.rel_type,
+            )
         if isinstance(node, Lookahead):
             raise ValueError("a lookahead needs a preceding clause in a sequence")
         raise TypeError(node)
@@ -856,6 +898,8 @@ class CqlCompiler:
             return self._static_width(node.q)
         if isinstance(node, PosFilterNode):
             return self._static_width(node.producer)
+        if isinstance(node, RcaptureNode):
+            return self._static_width(node.node)
         if isinstance(node, XFuncNode):
             if node.fname == "_fixed":
                 return int(node.args[1]) - int(node.args[0])

@@ -31,6 +31,7 @@ from blacklab_spark.plans.cql import (
     Lookahead,
     PosFilterNode,
     RelNode,
+    RcaptureNode,
     RspanNode,
     SeqNode,
     Unit,
@@ -128,6 +129,11 @@ def rewrite(node):
             if inner is node.node:
                 return node
             node = XFuncNode(node.fname, inner, node.args)
+        elif isinstance(node, RcaptureNode):
+            inner = rewrite(node.node)
+            if inner is node.node:
+                return node
+            node = RcaptureNode(inner, node.label, node.rel_type)
         elif isinstance(node, AlignNode):
             s = rewrite(node.src)
             t = None if node.tgt is None else rewrite(node.tgt)

@@ -296,3 +296,35 @@ def test_rel_spans_fuzz(spark, arcs, rt, direction, mode):
     assert got == _naive_rel_spans(rows, rt, direction, mode), (
         rt, direction, mode
     )
+
+
+def test_rcapture_relations_within(rcorp):
+    # rcapture(q, label, type) — XFRelations.rcapture: every type-matching
+    # relation whose envelope lies within the hit, captured as a sorted
+    # string list; hits keep their extent and hits without relations keep
+    # an empty capture (SpanQueryCaptureRelationsWithinSpan semantics)
+    rows = {
+        (r["doc_id"], r["start"], r["end"]): list(r["c_r"])
+        for r in rcorp.find_cql("rcapture([pos=\"verb\"], 'r', 'root')").collect()
+    }
+    assert rows == {
+        (0, 2, 3): ["root:-1--1>2-3"],
+        (1, 2, 3): ["root:-1--1>2-3"],
+    }
+    full = {
+        (r["doc_id"], r["start"], r["end"]): list(r["c_captured_rels"])
+        for r in rcorp.find_cql('rcapture("the" "dogs" "bark")').collect()
+    }
+    assert full == {
+        (0, 0, 3): ["det:1-2>0-1", "nsubj:2-3>1-2", "root:-1--1>2-3"],
+    }
+    # type-filter regex + empty capture retention
+    g = {
+        (r["doc_id"], r["start"], r["end"]): list(r["c_r"])
+        for r in rcorp.find_cql(
+            'rcapture([]{2,2}, \'r\', "det|nsubj")'
+        ).collect()
+    }
+    assert g[(1, 2, 4)] == []          # advmod filtered out, hit kept
+    assert g[(0, 0, 2)] == ["det:1-2>0-1"]
+    assert g[(0, 1, 3)] == ["nsubj:2-3>1-2"]
