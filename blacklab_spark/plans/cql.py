@@ -33,6 +33,9 @@ postings-backed span algebra:
     rcapture(A[,'label'[,'type']])   capture all type-matching relations
                              within each hit as a sorted string list
                              (XFRelations.rcapture)
+    rel('type'[, B[, 'mode'[, 'dir']]])  find relations by type/target,
+                             span-adjusted (XFRelations.rel; default mode
+                             'source', direction 'both'; `_` = any target)
     lab:X                    capture group -> c_<lab>_s / c_<lab>_e columns
     q :: lab.word = lab2.pos    global constraints via the forward index of
                                 the referenced layer (MatchFilterEquals
@@ -167,6 +170,14 @@ class RcaptureNode:        # rcapture(q, 'label', 'type') — capture all
 
 
 @dataclass(frozen=True)
+class RelFuncNode:         # rel('type'[, target[, 'mode'[, 'direction']]])
+    rel_type: str          # — XFRelations.rel: find relations by type and
+    tgt: object | None     # target, span-adjusted to `mode` (default
+    mode: str = "source"   # 'source', like the reference)
+    direction: str = "both"
+
+
+@dataclass(frozen=True)
 class XFuncNode:          # query extension function (XFDebug/XFSpans family)
     fname: str            # _ident | _adjust | _edge | _lenfilter | _fixed | _indoc
     node: object | None   # the query argument (None for _fixed)
@@ -200,7 +211,7 @@ _TOKEN_RE = re.compile(
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
     | (?P<amp>&) | (?P<pipe>\|) | (?P<neq>!=) | (?P<eq>=) | (?P<dot>\.)
     | (?P<str>"(?:[^"\\]|\\.)*")
-    | (?P<sqstr>'-?[A-Za-z0-9_]*')
+    | (?P<sqstr>'[-A-Za-z0-9_.*+?|]*')
     | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
     | (?P<comma>,)
     | (?P<colon>:)
@@ -457,6 +468,33 @@ class _Parser:
                 args.append(self._str_arg())
             self.eat("rpar")
             return XFuncNode(fname, node, tuple(args))
+        if self.peek("ident") and self.peek("ident")[1] == "rel":
+            # rel('type'[, target[, 'mode'[, 'direction']]]) —
+            # XFRelations.rel (XFRelations.java:53-75; defaults type '.+',
+            # any target, spanMode 'source', direction 'both'); `_` = any
+            # target, like the alignment operator's wildcard
+            self.eat("ident")
+            self.eat("lpar")
+            rtype = self._str_arg() or ".+"
+            tgt, mode, direction = None, "source", "both"
+            if self.peek("comma"):
+                self.eat("comma")
+                if self.peek("ident") and self.peek("ident")[1] == "_":
+                    self.eat("ident")  # `_` = any target (positional skip)
+                else:
+                    tgt = self._wild(self.boolean())
+                if self.peek("comma"):
+                    self.eat("comma")
+                    mode = self._str_arg()
+                    if self.peek("comma"):
+                        self.eat("comma")
+                        direction = self._str_arg()
+            self.eat("rpar")
+            if mode not in ("source", "target", "full"):
+                raise ValueError(f"unknown rel() span mode {mode!r}")
+            if direction not in ("both", "root", "forward", "backward"):
+                raise ValueError(f"unknown rel() direction {direction!r}")
+            return RelFuncNode(rtype, tgt, mode, direction)
         if self.peek("ident") and self.peek("ident")[1] == "rcapture":
             # rcapture(q[, 'label'[, 'type']]) — XFRelations.rcapture
             # (XFRelations.java:178-186; defaults captured_rels / any type)
@@ -818,6 +856,23 @@ class CqlCompiler:
             )
         if isinstance(node, XFuncNode):
             return self._compile_xfunc(node)
+        if isinstance(node, RelFuncNode):
+            if self.relations is None:
+                raise ValueError(
+                    "rel() on a corpus without an indexed relations "
+                    "table (build_relations)"
+                )
+            from blacklab_spark.operators.relations import relations_matching
+
+            return relations_matching(
+                self.relations,
+                None,
+                None if node.tgt is None
+                else self.compile(node.tgt).select(*SPAN_COLS),
+                rel_type=node.rel_type,
+                direction=node.direction,
+                span_mode=node.mode,
+            )
         if isinstance(node, RcaptureNode):
             if self.relations is None:
                 raise ValueError(

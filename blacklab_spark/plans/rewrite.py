@@ -32,6 +32,7 @@ from blacklab_spark.plans.cql import (
     PosFilterNode,
     RelNode,
     RcaptureNode,
+    RelFuncNode,
     RspanNode,
     SeqNode,
     Unit,
@@ -134,6 +135,13 @@ def rewrite(node):
             if inner is node.node:
                 return node
             node = RcaptureNode(inner, node.label, node.rel_type)
+        elif isinstance(node, RelFuncNode):
+            if node.tgt is None:
+                return node
+            t = rewrite(node.tgt)
+            if t is node.tgt:
+                return node
+            node = RelFuncNode(node.rel_type, t, node.mode, node.direction)
         elif isinstance(node, AlignNode):
             s = rewrite(node.src)
             t = None if node.tgt is None else rewrite(node.tgt)

@@ -328,3 +328,21 @@ def test_rcapture_relations_within(rcorp):
     assert g[(1, 2, 4)] == []          # advmod filtered out, hit kept
     assert g[(0, 0, 2)] == ["det:1-2>0-1"]
     assert g[(0, 1, 3)] == ["nsubj:2-3>1-2"]
+
+
+def test_rel_function(rcorp):
+    # rel('type'[, target[, 'mode'[, 'direction']]]) — XFRelations.rel with
+    # the reference's defaults (span mode 'source'); must agree with the
+    # rel_find API and the -type-> operator
+    assert spans(rcorp.find_cql("rel('det', _, 'full')")) == spans(
+        rcorp.rel_find("det")
+    )
+    assert spans(rcorp.find_cql("rel('det')")) == spans(
+        rcorp.rel_find("det", span_mode="source")
+    )
+    assert spans(rcorp.find_cql("rel('det', \"the\", 'full')")) == [(0, 0, 2)]
+    assert spans(rcorp.find_cql("rel('.*', _, 'target', 'root')")) == spans(
+        rcorp.rel_find(".*", direction="root", span_mode="target")
+    )
+    with pytest.raises(ValueError, match="span mode"):
+        rcorp.find_cql("rel('det', _, 'sideways')")
