@@ -461,6 +461,37 @@ def unique_spans(spans: DataFrame) -> DataFrame:
     return spans.dropDuplicates(SPAN_COLS)
 
 
+def capture_overlapping_spans(
+    hits_df: DataFrame, others: DataFrame, name: str = "with_spans"
+) -> DataFrame:
+    """with-spans(query, spans, captureAs) — capture every span of `others`
+    that OVERLAPS each hit (SpanQueryCaptureOverlappingSpans,
+    /root/reference/engine/src/main/java/nl/inl/blacklab/search/extensions/
+    XFSpans.java:29-34), as a sorted "start-end" string list column
+    `c_<name>`; hits keep their extent and hits with no overlapping span
+    keep an empty list. One doc_id-keyed left join + a groupBy over the
+    hit's own columns (captures survive)."""
+    cols = hits_df.columns
+    h = hits_df.dropDuplicates(cols).alias("h")
+    o = others.select(*SPAN_COLS).dropDuplicates(SPAN_COLS).alias("o")
+    span_str = F.when(
+        F.col("o.doc_id").isNotNull(),  # null on join miss → dropped by agg
+        F.concat_ws("-", F.col("o.start"), F.col("o.end")),
+    )
+    j = h.join(
+        o,
+        (F.col("h.doc_id") == F.col("o.doc_id"))
+        & (F.col("o.start") < F.col("h.end"))
+        & (F.col("h.start") < F.col("o.end")),
+        "left",
+    )
+    return (
+        j.select(*[F.col(f"h.{c}") for c in cols], span_str.alias("_os"))
+        .groupBy(*[F.col(c) for c in cols])
+        .agg(F.sort_array(F.collect_list("_os")).alias(f"c_{name}"))
+    )
+
+
 def fuzzy_terms(term_dict: DataFrame, term: str, max_dist: int = 1) -> DataFrame:
     """Edit-distance term expansion over the term dictionary (SpanFuzzyQuery):
     returns (term, df, cf, dist) for terms within levenshtein <= max_dist."""

@@ -36,6 +36,8 @@ postings-backed span algebra:
     rel('type'[, B[, 'mode'[, 'dir']]])  find relations by type/target,
                              span-adjusted (XFRelations.rel; default mode
                              'source', direction 'both'; `_` = any target)
+    with-spans(A, B[, 'label'])  capture every B-span overlapping each hit
+                             of A as a sorted list (XFSpans.withSpans)
     lab:X                    capture group -> c_<lab>_s / c_<lab>_e columns
     q :: lab.word = lab2.pos    global constraints via the forward index of
                                 the referenced layer (MatchFilterEquals
@@ -178,6 +180,13 @@ class RelFuncNode:         # rel('type'[, target[, 'mode'[, 'direction']]])
 
 
 @dataclass(frozen=True)
+class WithSpansNode:       # with-spans(q, spans, 'label') — capture all
+    node: object           # overlapping spans of a second query per hit
+    spans: object
+    label: str = "with_spans"
+
+
+@dataclass(frozen=True)
 class XFuncNode:          # query extension function (XFDebug/XFSpans family)
     fname: str            # _ident | _adjust | _edge | _lenfilter | _fixed | _indoc
     node: object | None   # the query argument (None for _fixed)
@@ -202,6 +211,7 @@ class ConstrainedNode:
 _TOKEN_RE = re.compile(
     r"""\s*(?:
       (?P<within>!?within\b) | (?P<containing>!?containing\b)
+    | (?P<withspans>with-spans\b)
     | (?P<cons>::)
     | (?P<la>\(\?=) | (?P<lan>\(\?!)
     | (?P<rel>\^?-[A-Za-z0-9_.|*?+]*->)
@@ -359,7 +369,8 @@ class _Parser:
         units = [self.unit_or_lookahead()]
         while True:
             k = self.peek()
-            if k and k[0] in ("lbrack", "lpar", "str", "ident", "la", "lan"):
+            if k and k[0] in ("lbrack", "lpar", "str", "ident", "la", "lan",
+                              "withspans"):
                 units.append(self.unit_or_lookahead())
             else:
                 break
@@ -468,6 +479,24 @@ class _Parser:
                 args.append(self._str_arg())
             self.eat("rpar")
             return XFuncNode(fname, node, tuple(args))
+        if self.peek("withspans"):
+            # with-spans(q, spans[, 'label']) — XFSpans.withSpans
+            # (XFSpans.java:29-41). The reference defaults `spans` to "any
+            # inline tag"; turn == doc here (no tags), so the spans query is
+            # required. Capture column is c_<label> (default with_spans —
+            # underscore, a valid column name; the reference's default
+            # capture name is the hyphenated function name).
+            self.eat("withspans")
+            self.eat("lpar")
+            inner = self.relquery()
+            self.eat("comma")
+            sp = self.relquery()
+            label = "with_spans"
+            if self.peek("comma"):
+                self.eat("comma")
+                label = self._str_arg()
+            self.eat("rpar")
+            return WithSpansNode(inner, sp, label)
         if self.peek("ident") and self.peek("ident")[1] == "rel":
             # rel('type'[, target[, 'mode'[, 'direction']]]) —
             # XFRelations.rel (XFRelations.java:53-75; defaults type '.+',
@@ -873,6 +902,12 @@ class CqlCompiler:
                 direction=node.direction,
                 span_mode=node.mode,
             )
+        if isinstance(node, WithSpansNode):
+            return S.capture_overlapping_spans(
+                self.compile(node.node),
+                self.compile(node.spans).select(*SPAN_COLS),
+                node.label,
+            )
         if isinstance(node, RcaptureNode):
             if self.relations is None:
                 raise ValueError(
@@ -953,7 +988,7 @@ class CqlCompiler:
             return self._static_width(node.q)
         if isinstance(node, PosFilterNode):
             return self._static_width(node.producer)
-        if isinstance(node, RcaptureNode):
+        if isinstance(node, (RcaptureNode, WithSpansNode)):
             return self._static_width(node.node)
         if isinstance(node, XFuncNode):
             if node.fname == "_fixed":

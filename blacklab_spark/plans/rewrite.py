@@ -33,6 +33,7 @@ from blacklab_spark.plans.cql import (
     RelNode,
     RcaptureNode,
     RelFuncNode,
+    WithSpansNode,
     RspanNode,
     SeqNode,
     Unit,
@@ -142,6 +143,11 @@ def rewrite(node):
             if t is node.tgt:
                 return node
             node = RelFuncNode(node.rel_type, t, node.mode, node.direction)
+        elif isinstance(node, WithSpansNode):
+            a, b = rewrite(node.node), rewrite(node.spans)
+            if a is node.node and b is node.spans:
+                return node
+            node = WithSpansNode(a, b, node.label)
         elif isinstance(node, AlignNode):
             s = rewrite(node.src)
             t = None if node.tgt is None else rewrite(node.tgt)

@@ -456,3 +456,26 @@ def test_suffix_runs_fold_after_prefix_break(cidx):
         for r in df.collect()
     )
     assert rows == [(0, 0, 4, 0, 1), (5, 0, 4, 0, 1)]
+
+
+def test_with_spans_capture(cidx):
+    # with-spans(q, spans[, 'label']) — XFSpans: capture every overlapping
+    # span of the second query per hit; hits keep extent, non-overlapped
+    # hits keep an empty list (doc 3: to0 be1 or2 not3 to4 be5 ...)
+    rows = {
+        (r["doc_id"], r["start"], r["end"]): list(r["c_with_spans"])
+        for r in cidx.find_cql('with-spans("be", ("to" "be"))').collect()
+    }
+    assert rows == {
+        (2, 3, 4): [],          # "may the force be ..." — no to-be bigram
+        (2, 9, 10): [],
+        (3, 1, 2): ["0-2"],     # be1 inside to0-be1
+        (3, 5, 6): ["4-6"],     # be5 inside to4-be5
+    }
+    # custom label + composition in a sequence
+    df = cidx.find_cql("with-spans(\"be\", (\"to\" \"be\"), 'tb') \"or\"")
+    got = sorted(
+        (r["doc_id"], r["start"], r["end"], list(r["c_tb"]))
+        for r in df.collect()
+    )
+    assert got == [(3, 1, 3, ["0-2"])]
