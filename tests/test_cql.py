@@ -479,3 +479,34 @@ def test_with_spans_capture(cidx):
         for r in df.collect()
     )
     assert got == [(3, 1, 3, ["0-2"])]
+
+
+def test_new_operator_plans_keyed_joins(cidx):
+    # r5 plan audit: the new operators must compile to doc_id-keyed hash
+    # joins, never a cartesian/nested-loop product; the equality-only
+    # position-filter modes should extract ALL their equalities as hash
+    # join keys (Catalyst equi-join extraction)
+    def plan_of(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    probes = {
+        "posfilter_matches": cidx.find_cql(
+            "_posfilter([]{1,2}, \"the\" [], 'matches')"
+        ),
+        "posfilter_within": cidx.find_cql(
+            "_posfilter([]{1,2}, \"the\" [], 'within')"
+        ),
+        "with_spans": cidx.find_cql('with-spans("be", ("to" "be"))'),
+        "suffix_run": cidx.find_cql('"to"+ "be" "or" "not"'),
+        "count_hits": cidx.count_hits('"the"', max_count=3),
+    }
+    for name, df in probes.items():
+        p = plan_of(df)
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" not in p, name
+    # 'matches' extracts doc_id + start + end equalities as join keys: the
+    # join condition has no residual comparison left
+    pm = plan_of(probes["posfilter_matches"])
+    import re as _re
+    semi = [l for l in pm.splitlines() if "LeftSemi" in l]
+    assert semi and all("<" not in l and ">" not in l for l in semi), semi
