@@ -346,3 +346,67 @@ def test_rel_function(rcorp):
     )
     with pytest.raises(ValueError, match="span mode"):
         rcorp.find_cql("rel('det', _, 'sideways')")
+
+
+def test_alignment_hits_property_fuzz(spark):
+    # property fuzz for the `==>` operator (closing the r4 deferred fuzz
+    # gap): random alignment tables + random source/target span sets vs a
+    # naive Python evaluation of the contract — source-within-hit, target
+    # ENVELOPE, optional envelope-contains-target filter
+    import random
+
+    from blacklab_spark.operators.relations import ALIGN_COLS, alignment_hits
+
+    rng = random.Random(20260817)
+    for trial in range(6):
+        n_docs = rng.randint(1, 4)
+        als = []
+        for _ in range(rng.randint(3, 18)):
+            d = rng.randrange(n_docs)
+            ss = rng.randrange(8)
+            se = ss + rng.randint(1, 3)
+            ts = rng.randrange(8)
+            te = ts + rng.randint(1, 3)
+            als.append((d, rng.choice(["al", "xx"]), ss, se,
+                        rng.choice(["de", "fr"]), ts, te))
+        spans_l = sorted({
+            (rng.randrange(n_docs), s, s + w)
+            for s, w in [(rng.randrange(7), rng.randint(1, 4))
+                         for _ in range(rng.randint(2, 8))]
+        })
+        tgt_l = sorted({
+            (rng.randrange(n_docs), s, s + w)
+            for s, w in [(rng.randrange(9), rng.randint(1, 3))
+                         for _ in range(rng.randint(1, 5))]
+        })
+        al_df = spark.createDataFrame(als, ALIGN_COLS)
+        src_df = spark.createDataFrame(spans_l, "doc_id long, start int, end int")
+        tgt_df = spark.createDataFrame(tgt_l, "doc_id long, start int, end int")
+
+        def naive(with_tgt):
+            out = {}
+            for (d, s, e) in spans_l:
+                rels = [a for a in als
+                        if a[0] == d and a[1] == "al" and a[4] == "de"
+                        and a[2] >= s and a[3] <= e]
+                if not rels:
+                    continue
+                env = (min(r[5] for r in rels), max(r[6] for r in rels))
+                if with_tgt and not any(
+                    td == d and ts >= env[0] and te <= env[1]
+                    for (td, ts, te) in tgt_l
+                ):
+                    continue
+                out[(d, s, e)] = (env[0], env[1], len(rels))
+            return out
+
+        for with_tgt in (False, True):
+            got = {
+                (r["doc_id"], r["start"], r["end"]):
+                    (r["c_target_s"], r["c_target_e"], r["n_rels"])
+                for r in alignment_hits(
+                    al_df, src_df, "de", "al",
+                    tgt_df if with_tgt else None,
+                ).collect()
+            }
+            assert got == naive(with_tgt), (trial, with_tgt)
