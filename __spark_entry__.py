@@ -626,6 +626,9 @@ FROM rel WHERE deprel = 'root'
 UNION ALL
 SELECT 'obj_src', doc_id, src_s, src_e, src_s, src_e, tgt_s, tgt_e
 FROM rel WHERE deprel = 'obj'
+UNION ALL
+SELECT 'relfn_src', doc_id, src_s, src_e, src_s, src_e, tgt_s, tgt_e
+FROM rel WHERE deprel = 'nsubj'
 """
 
 
@@ -1271,6 +1274,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     "root_tgt")
             )
             .unionByName(tag(ac.rel_find("obj", span_mode="source"), "obj_src"))
+            # r5: the rel() extension function (XFRelations.rel, default
+            # span mode 'source') through the BCQL surface
+            .unionByName(tag(ac.find_cql("rel('nsubj')"), "relfn_src"))
         )
 
     def chat_ingest(spark, sf_dir):
