@@ -871,10 +871,23 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 F.lit("").alias("context"),
             )
 
+        # r5: with-spans capture surface — every "join X" bigram overlapping
+        # each join hit, stringified (the list column itself would trip the
+        # driver canonicalizer); empty captures stay as '' rows
+        ws = c.find_cql('with-spans("join", ("join" []))')
+        wspans = _to_orig(
+            c,
+            ws.select(
+                "doc_id", F.col("start").alias("pos"),
+                F.concat_ws("|", "c_with_spans").alias("context"),
+            ),
+            "pos", "context",
+        ).select(F.lit("wspans").alias("part"), "doc_id", "pos", "context")
         return (
             page.unionByName(after)
             .unionByName(count_part("count_capped", 25))
             .unionByName(count_part("count_exact", 1 << 30))
+            .unionByName(wspans)
         )
 
     def parallel_align(spark, sf_dir):
@@ -1621,6 +1634,20 @@ SELECT 'count_capped', least(n, 25), CASE WHEN n > 25 THEN 1 ELSE 0 END, ''
 FROM (SELECT count(*) AS n FROM h)
 UNION ALL
 SELECT 'count_exact', n, 0, '' FROM (SELECT count(*) AS n FROM h)
+UNION ALL
+-- with-spans("join", ("join" [])): overlapping join-bigrams per join hit,
+-- string-sorted like the engine's sort_array over "q-(q+2)" strings
+SELECT 'wspans', j.doc_id, j.pos,
+       coalesce(
+         array_to_string(
+           list(b.q || '-' || (b.q + 2) ORDER BY b.q || '-' || (b.q + 2))
+             FILTER (WHERE b.q IS NOT NULL),
+           '|'), '') AS context
+FROM h j LEFT JOIN (
+  SELECT doc_id, i - 1 AS q FROM pos
+  WHERE tok = '{TERM}' AND i + 1 <= len(toks)
+) b ON b.doc_id = j.doc_id AND b.q <= j.pos AND j.pos < b.q + 2
+GROUP BY j.doc_id, j.pos
 """,
         "dedup_exact": """
 SELECT min(doc_id) AS kept_id, count(*) AS group_size

@@ -265,13 +265,29 @@ def term_listing(term_dict: DataFrame, k: int = 100) -> DataFrame:
     )
 
 
-def autocomplete(term_dict: DataFrame, prefix: str, k: int = 10) -> DataFrame:
+def autocomplete(
+    term_dict: DataFrame, prefix: str, k: int = 10,
+    insensitive: bool = False,
+) -> DataFrame:
     """Term autocompletion (BLS /autocomplete analog): prefix-matching terms
     by collection frequency desc, then collation order (r5: the tiebreak is
     the insensitive collation key + raw term, so accented completions sort
-    with their base letter like the reference, not after 'z')."""
+    with their base letter like the reference, not after 'z').
+
+    insensitive=True matches the prefix under the INSENSITIVE collator
+    (lowercase + accent/digraph fold on both sides — the reference
+    autocompletes against the insensitive sort positions), so 'tabl'
+    completes 'Tablé' and 'ij' completes 'ĳs'."""
+    if insensitive:
+        from blacklab_spark.tokenizer import fold_accents
+
+        cond = collation_key("term").startswith(
+            fold_accents(prefix.lower())
+        )
+    else:
+        cond = F.col("term").startswith(prefix)
     return (
-        term_dict.filter(F.col("term").startswith(prefix))
+        term_dict.filter(cond)
         .select("term", "cf")
         .orderBy(F.desc("cf"), F.asc(collation_key("term")), F.asc("term"))
         .limit(k)

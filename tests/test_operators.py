@@ -409,3 +409,21 @@ def test_collation_term_listing_order(spark):
         ), "t", k=3,
     ).collect()
     assert [r["term"] for r in ac] == ["taa", "tablé", "tz"]
+
+
+def test_autocomplete_insensitive_prefix(spark):
+    # r5: insensitive autocomplete matches the prefix under the collator
+    # fold — accents and digraphs on either side don't block completion
+    from blacklab_spark.operators.grouping import autocomplete
+
+    td = spark.createDataFrame(
+        [("Tablé", 9), ("table", 8), ("tblx", 1), ("ĳs", 5), ("ijsje", 3)],
+        "term string, cf long",
+    )
+    got = [r["term"] for r in autocomplete(td, "tabl", insensitive=True).collect()]
+    assert got == ["Tablé", "table"]
+    got = [r["term"] for r in autocomplete(td, "IJ", insensitive=True).collect()]
+    assert got == ["ĳs", "ijsje"]
+    # sensitive (default) behavior unchanged
+    got = [r["term"] for r in autocomplete(td, "tabl").collect()]
+    assert got == ["table"]
