@@ -27,12 +27,17 @@ from blacklab_spark.operators import dedup, grouping, similarity, textstats
 from blacklab_spark.operators import spans as S
 from blacklab_spark.streaming.windows import windowed_event_counts
 from blacklab_spark.tokenizer import (
+    FOLD_VERSION,
     TOKEN_PATTERN_JAVA,
     TOKEN_PATTERN_SQL,
     fold_sql,
 )
 
-CACHE_ROOT = os.environ.get("BLACKLAB_CACHE", "/tmp/blacklab_entry_cache")
+# cache keyed by fold version: a fold-convention change invalidates every
+# resume=True index under it (Corpus gates on the meta fold_version stamp)
+CACHE_ROOT = os.environ.get(
+    "BLACKLAB_CACHE", f"/tmp/blacklab_entry_cache_f{FOLD_VERSION}"
+)
 
 # query constants shared between the Spark side and the SQL oracles
 TERM = "join"
@@ -762,6 +767,80 @@ SELECT query_id, vec_id, round(cos, 6) AS cosine FROM r WHERE rk <= {K}
 """
 
 
+def _ann_ivf_sql(n_pivots: int = 8, nprobe: int = 4) -> str:
+    """Oracle for the recall-checked pivot-IVF entry (mirrors _ann_lsh_sql):
+    exact top-10 rows (part='exact') plus a per-query recall row
+    (part='recall', vec_id=-1). The recall is recomputed from first
+    principles — the SAME pivot choice (lowest md5(CAST(id AS VARCHAR))
+    digests: similarity.ivf_pivot_select), the SAME cosine-argmax cell
+    assignment with ties to the lowest pivot index, the SAME top-nprobe
+    probed cells, the same (cosine desc, vec_id asc) re-rank tie order and
+    |ann ∩ exact| / k quotient."""
+
+    def cos(a: str, b: str) -> str:
+        return (
+            f"list_dot_product({a}, {b})"
+            f" / (sqrt(list_dot_product({a}, {a}))"
+            f" * sqrt(list_dot_product({b}, {b})))"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qe FROM e WHERE vec_id < 5),
+piv AS (
+  SELECT v AS pv,
+         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id)
+           AS pidx
+  FROM e
+  QUALIFY pidx <= {n_pivots}
+),
+asg AS (
+  SELECT e.vec_id, e.v, p.pidx,
+         row_number() OVER (PARTITION BY e.vec_id
+                            ORDER BY {cos('e.v', 'p.pv')} DESC, p.pidx ASC)
+           AS rk
+  FROM e CROSS JOIN piv p
+),
+cells AS (SELECT vec_id, v, pidx AS cell FROM asg WHERE rk = 1),
+qp AS (
+  SELECT q.query_id, q.qe, p.pidx,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cos('q.qe', 'p.pv')} DESC, p.pidx ASC)
+           AS rk
+  FROM q CROSS JOIN piv p
+),
+probe AS (SELECT query_id, qe, pidx FROM qp WHERE rk <= {nprobe}),
+exact_r AS (
+  SELECT q.query_id, e.vec_id, {cos('e.v', 'q.qe')} AS cos,
+         row_number() OVER (PARTITION BY q.query_id
+                            ORDER BY {cos('e.v', 'q.qe')} DESC, e.vec_id ASC)
+           AS rk
+  FROM e CROSS JOIN q
+),
+exact10 AS (SELECT query_id, vec_id, cos FROM exact_r WHERE rk <= {K}),
+cand AS (
+  SELECT pr.query_id, c.vec_id, {cos('c.v', 'pr.qe')} AS cos
+  FROM cells c JOIN probe pr ON c.cell = pr.pidx
+),
+ann_r AS (
+  SELECT query_id, vec_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS rk
+  FROM cand
+),
+ann10 AS (SELECT query_id, vec_id FROM ann_r WHERE rk <= {K}),
+hits AS (
+  SELECT x.query_id, count(*) AS n
+  FROM exact10 x JOIN ann10 a USING (query_id, vec_id)
+  GROUP BY x.query_id
+)
+SELECT 'exact' AS part, query_id, vec_id, round(cos, 6) AS cosine FROM exact10
+UNION ALL
+SELECT 'recall', q.query_id, -1, coalesce(h.n, 0) / {K}.0
+FROM q LEFT JOIN hits h USING (query_id)
+"""
+
+
 # -------------------------------------------------------------- entry -------
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1378,21 +1457,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def ann_ivf_checked(spark, sf_dir):
-        # recall stays EXCEPTION-gated here (unlike ann_lsh_checked): the
-        # oracle would have to rerun seeded k-means training, which SQL
-        # cannot express without inlining the engine's own trained centroids
-        # (self-certifying); the exact-top-k rows remain fully hash-checked
-        state = {}  # train + assign ONCE, reuse across the 5 queries
+        # r6: recall is now HASH-CHECKED like ann_lsh_checked. The coarse
+        # quantizer is the deterministic PIVOT variant (pivots = the 8 data
+        # vectors with the lowest md5(id) digests — similarity.
+        # ivf_pivot_select), which the oracle re-derives from first
+        # principles in SQL; seeded k-means (ivf_train_centroids) stays as
+        # the pytest-covered alternative quantizer, whose recall SQL cannot
+        # express without trusting the engine's own trained centroids.
+        state = {}  # select + assign ONCE, reuse across the 5 queries
 
         def fn(emb, qv):
-            if "c" not in state:
-                state["c"] = similarity.ivf_train_centroids(emb, n_centroids=8)
-                state["a"] = similarity.ivf_assign(emb, state["c"]).cache()
-            return similarity.ivf_topk(
-                emb, qv, k=K, centroids=state["c"], nprobe=4, assign=state["a"]
+            if "p" not in state:
+                state["p"] = similarity.ivf_pivot_select(emb, n_pivots=8)[1]
+                state["a"] = similarity.ivf_pivot_assign(emb, state["p"]).cache()
+            return similarity.ivf_pivot_topk(
+                emb, qv, k=K, pivots=state["p"], nprobe=4, assign=state["a"]
             )
 
-        return _ann_checked(spark, sf_dir, fn, gate=0.5, tag="ivf")
+        return _ann_checked(
+            spark, sf_dir, fn, gate=0.5, tag="ivf", recall_rows=True
+        )
 
     # EXACTLY 50 entries (the driver's per-round verification cap), ordered
     # so that entries that have never had a CORRECTNESS row — plus this
@@ -1561,7 +1645,7 @@ FROM documents d LEFT JOIN f ON f.id = d.doc_id
         "rel_nsubj": _rel_nsubj_sql(),
         "chat_ingest": _chat_ingest_sql(),
         "ann_lsh_checked": _ann_lsh_sql(),
-        "ann_ivf_checked": _ann_exact_sql(),
+        "ann_ivf_checked": _ann_ivf_sql(),
         "parallel_align": f"""
 WITH {_POS_CTES}
 SELECT 'pair_env' AS variant, doc_id, i - 1 AS start, i + 1 AS "end",

@@ -141,17 +141,61 @@ def main():
         queries = {n: min(r[n] for r in all_rounds) for n, _ in qset}
 
         # serving mode: pin postings/docs in executor memory (Corpus.preload,
-        # the open-IndexReader analog) and re-run — steady-state QPS
+        # the open-IndexReader analog) and re-run — steady-state QPS.
+        #
+        # PROBE-FLOOR GATE (BENCH r5 postmortem): this host has degraded
+        # windows (8-worker probe ~90-115 Mops vs clean 125-140) lasting
+        # 45+ min; r5's warm pass landed entirely inside one, recording
+        # warm > cold — physically implausible for the unchanged code path.
+        # Each warm round is bracketed by probes and counts as CLEAN only if
+        # BOTH clear BENCH_PROBE_FLOOR; degraded probes trigger a sleep +
+        # retry (bounded by BENCH_PROBE_RETRIES). queries_warm is the
+        # per-query best over clean rounds when any exist — else over all
+        # rounds, flagged warm_gate.clean=false for the record.
         c.preload()
-        warm_rounds: list[dict[str, float]] = []
-        for _ in range(n_rounds):
+        floor = float(os.environ.get("BENCH_PROBE_FLOOR", "118"))
+        max_attempts = int(os.environ.get("BENCH_PROBE_RETRIES", "12"))
+        gate_sleep = float(os.environ.get("BENCH_PROBE_SLEEP", "15"))
+        warm_rounds = []   # [{'times': {...}, 'clean': bool, 'probes': [p0, p1]}]
+        warm_skips: list[float] = []
+        attempts = 0
+        while (
+            sum(w["clean"] for w in warm_rounds) < n_rounds
+            and attempts < max_attempts
+        ):
+            attempts += 1
+            p0 = _cpu_probe()
+            if p0 < floor:
+                warm_skips.append(p0)
+                if attempts < max_attempts:
+                    time.sleep(gate_sleep)
+                continue
             r = {}
             for name, fn in qset:
                 t = time.time()
                 fn()
                 r[name] = round(time.time() - t, 4)
-            warm_rounds.append(r)
-        queries_warm = {n: min(r[n] for r in warm_rounds) for n, _ in qset}
+            p1 = _cpu_probe()
+            warm_rounds.append(
+                {"times": r, "clean": min(p0, p1) >= floor, "probes": [p0, p1]}
+            )
+        if not warm_rounds:  # every attempt probed degraded: record one anyway
+            r = {}
+            for name, fn in qset:
+                t = time.time()
+                fn()
+                r[name] = round(time.time() - t, 4)
+            warm_rounds.append({"times": r, "clean": False, "probes": []})
+        clean = [w for w in warm_rounds if w["clean"]] or warm_rounds
+        queries_warm = {n: min(w["times"][n] for w in clean) for n, _ in qset}
+        warm_gate = {
+            "floor_mops": floor,
+            "clean": any(w["clean"] for w in warm_rounds),
+            "clean_rounds": sum(w["clean"] for w in warm_rounds),
+            "rounds_run": len(warm_rounds),
+            "degraded_probes_skipped": warm_skips,
+            "round_probes": [w["probes"] for w in warm_rounds],
+        }
 
         # BENCH_CONCURRENT=K: run the query set K times over a thread pool —
         # the BLS serving workload. Per-query parallelism at sandbox corpus
@@ -231,6 +275,7 @@ def main():
             "queries": queries,
             "queries_warm": queries_warm,
             "qps_warm": round(len(queries_warm) / max(sum(queries_warm.values()), 1e-9), 2),
+            "warm_gate": warm_gate,
             "search_cache": {
                 "first_sec": round(cache_first, 4),
                 "repeat_sec": round(cache_repeat, 4),

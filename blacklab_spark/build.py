@@ -42,7 +42,7 @@ from pyspark.sql import types as T
 
 from blacklab_spark import codecs, scoring
 from blacklab_spark.docmap import assign_dense_ids
-from blacklab_spark.tokenizer import TOKEN_PATTERN, tokenize_series
+from blacklab_spark.tokenizer import FOLD_VERSION, TOKEN_PATTERN, tokenize_series
 
 SCHEMA_VERSION = 1
 
@@ -373,6 +373,7 @@ def build_index(
             "docs_per_salt": docs_per_salt,
             "doc_key": list(doc_key),
             "tokenizer": TOKEN_PATTERN,
+            "fold_version": FOLD_VERSION,
         }
         with open(paths.meta, "w") as f:
             json.dump(meta, f, indent=2)

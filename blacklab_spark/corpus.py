@@ -60,6 +60,23 @@ class Corpus:
             self.meta = json.load(f)
         self.n_docs: int = self.meta["n_docs"]
         self.avgdl: float = self.meta["avgdl"]
+        # fold-convention gate (ADVICE r5): query-side pattern folding must
+        # match the convention baked into the stored i/di layers, or
+        # insensitive searches silently miss (stored 'ß' vs query 'ss')
+        from blacklab_spark.tokenizer import FOLD_VERSION
+
+        stamped = self.meta.get("fold_version")
+        if stamped != FOLD_VERSION:
+            import warnings
+
+            warnings.warn(
+                f"index at {path} was built with fold_version="
+                f"{stamped if stamped is not None else 'unstamped (pre-r6)'} "
+                f"but this engine folds with version {FOLD_VERSION}; "
+                "insensitive (i/di layer) searches may silently miss terms "
+                "containing re-folded characters — rebuild the index",
+                stacklevel=2,
+            )
 
     # ------------------------------------------------------------ tables --
     @property

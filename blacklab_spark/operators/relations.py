@@ -193,9 +193,14 @@ def capture_relations_within(
     target span (no source). Spark-first shape: the captured set is a
     `c_<name>` column of sorted "type:src_s-src_e>tgt_s-tgt_e" strings
     (deterministic, hashable) — one doc_id-keyed join + one groupBy over
-    the hit's own columns; hits with no relations keep an empty array."""
+    the hit's own columns; hits with no relations keep an empty array.
+
+    Legitimately duplicated hits (same extent reached via different match
+    paths — distinct Hits in the reference) are PRESERVED: a per-hit
+    surrogate key rides through the groupBy instead of deduplicating
+    (ADVICE r5)."""
     cols = spans_df.columns
-    h = spans_df.dropDuplicates(cols).alias("h")
+    h = spans_df.withColumn("_hid", F.monotonically_increasing_id()).alias("h")
     r = rels.filter(
         F.col("rel_type").rlike("^(?:" + rel_type + ")$")
     ).alias("r")
@@ -221,9 +226,10 @@ def capture_relations_within(
     )
     hcols = [F.col(f"h.{c}") for c in cols]
     return (
-        j.select(*hcols, rel_str.alias("_rs"))
-        .groupBy(*[F.col(c) for c in cols])
+        j.select(*hcols, F.col("h._hid").alias("_hid"), rel_str.alias("_rs"))
+        .groupBy("_hid", *[F.col(c) for c in cols])
         .agg(F.sort_array(F.collect_list("_rs")).alias(f"c_{name}"))
+        .drop("_hid")
     )
 
 

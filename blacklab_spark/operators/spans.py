@@ -470,9 +470,12 @@ def capture_overlapping_spans(
     XFSpans.java:29-34), as a sorted "start-end" string list column
     `c_<name>`; hits keep their extent and hits with no overlapping span
     keep an empty list. One doc_id-keyed left join + a groupBy over the
-    hit's own columns (captures survive)."""
+    hit's own columns (captures survive). Duplicate hits are PRESERVED via
+    a per-hit surrogate key (ADVICE r5 — the reference keeps same-extent
+    hits reached via different match paths as distinct Hits); the captured
+    SPAN SET is still deduplicated (sorted-set semantics of the column)."""
     cols = hits_df.columns
-    h = hits_df.dropDuplicates(cols).alias("h")
+    h = hits_df.withColumn("_hid", F.monotonically_increasing_id()).alias("h")
     o = others.select(*SPAN_COLS).dropDuplicates(SPAN_COLS).alias("o")
     span_str = F.when(
         F.col("o.doc_id").isNotNull(),  # null on join miss → dropped by agg
@@ -486,9 +489,13 @@ def capture_overlapping_spans(
         "left",
     )
     return (
-        j.select(*[F.col(f"h.{c}") for c in cols], span_str.alias("_os"))
-        .groupBy(*[F.col(c) for c in cols])
+        j.select(
+            *[F.col(f"h.{c}") for c in cols],
+            F.col("h._hid").alias("_hid"), span_str.alias("_os"),
+        )
+        .groupBy("_hid", *[F.col(c) for c in cols])
         .agg(F.sort_array(F.collect_list("_os")).alias(f"c_{name}"))
+        .drop("_hid")
     )
 
 

@@ -959,9 +959,14 @@ class CqlCompiler:
                 raise ValueError(f"_edge direction {direction!r}")
             return S.edge(inner, trailing=direction == "trailing")
         if node.fname == "_lenfilter":
+            # max is LITERAL like the reference's SpansFilterByHitLength.accept
+            # (l >= min && l <= max) with registered defaults ("0","0")
+            # (XFDebug.java:109, SpansFilterByHitLength.java:38): _lenfilter(q)
+            # keeps only zero-length hits; unlimited max must be passed
+            # explicitly (ADVICE r5 — 0 previously meant unbounded here)
             mn = int(a[0]) if len(a) > 0 else 0
             mx = int(a[1]) if len(a) > 1 else 0
-            return S.filter_by_length(inner, mn, mx if mx > 0 else None)
+            return S.filter_by_length(inner, mn, mx)
         raise ValueError(f"unknown extension function {node.fname!r}")
 
     def _static_width(self, node) -> int | None:

@@ -147,6 +147,15 @@ DIGRAPH_FOLDS = {
 }
 _FULL_FOLD_MAP = {**_ACCENT_MAP, **{ord(k): v for k, v in DIGRAPH_FOLDS.items()}}
 
+# Version of the fold convention baked into every i/di layer at build time.
+# Queries fold patterns with the CURRENT convention, so an index built under
+# a different one silently misses (e.g. stored 'ß' vs folded query 'ss').
+# Indexes stamp fold_version in _meta.json; Corpus warns and add_to_index
+# refuses on mismatch (ADVICE r5).
+#   1 = accent-only 1:1 map (r4)
+#   2 = + DIGRAPH_FOLDS ĳ/æ/œ/ß and Ł/ł (r5)
+FOLD_VERSION = 2
+
 
 def fold_accents(s: str) -> str:
     """é→e, ü→u, ñ→n, ĳ→ij, ß→ss … via the explicit map (NOT unicodedata at

@@ -407,6 +407,15 @@ def test_extension_functions(cidx):
     assert spans(cidx.find_cql("_lenfilter([]{1,3}, '2', '3')")) == spans(
         cidx.find_cql("[]{2,3}")
     )
+    # max is LITERAL (SpansFilterByHitLength.accept: l >= min && l <= max,
+    # defaults "0","0" — XFDebug.java:109): _lenfilter(q) keeps only
+    # zero-length hits (none here: the engine emits no zero-width spans),
+    # it does NOT mean "no maximum" (ADVICE r5)
+    assert spans(cidx.find_cql("_lenfilter([]{0,2})")) == []
+    assert spans(cidx.find_cql("_lenfilter([]{1,3}, '2')")) == []
+    assert spans(cidx.find_cql("_lenfilter([]{1,3}, '1', '1')")) == spans(
+        cidx.find_cql("[]{1,1}")
+    )
     # constant span in every doc long enough (dl >= 2: docs 0,1,2,3,5)
     assert spans(cidx.find_cql("_fixed('0', '2')")) == [
         (0, 0, 2), (1, 0, 2), (2, 0, 2), (3, 0, 2), (5, 0, 2)

@@ -102,3 +102,40 @@ def test_post_append_chain_kernel_matches_join(spark, setup):
             _os.environ.pop("BLACKLAB_SEQ_KERNEL", None)
         assert kern == join, q
         assert len(kern) > 0, q
+
+
+def test_fold_version_gate(spark, tmp_root):
+    # ADVICE r5: an index whose baked-in fold convention differs from the
+    # engine's current one must not be silently queried (insensitive layers
+    # would miss re-folded terms) and must never be appended to (one term
+    # dict would mix two conventions)
+    import warnings
+
+    from blacklab_spark.tokenizer import FOLD_VERSION
+
+    path = f"{tmp_root}/fold_gate_idx"
+    df = spark.createDataFrame(make_transcripts(40, seed=7, vocab_size=50))
+    build_index(spark, df, path)
+    meta = json.load(open(f"{path}/_meta.json"))
+    assert meta["fold_version"] == FOLD_VERSION  # stamped at build
+
+    # current stamp: clean open, no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        Corpus(spark, path)
+
+    # explicit mismatch: open warns, append refuses
+    meta["fold_version"] = FOLD_VERSION - 1
+    json.dump(meta, open(f"{path}/_meta.json", "w"))
+    with pytest.warns(UserWarning, match="fold_version"):
+        Corpus(spark, path)
+    delta = make_transcripts(10, seed=8, vocab_size=50)
+    delta["conv_id"] = "x-" + delta["conv_id"]
+    with pytest.raises(RuntimeError, match="fold_version"):
+        add_to_index(spark, spark.createDataFrame(delta), path)
+
+    # unstamped (pre-r6): open and append both warn but proceed
+    del meta["fold_version"]
+    json.dump(meta, open(f"{path}/_meta.json", "w"))
+    with pytest.warns(UserWarning, match="fold_version"):
+        Corpus(spark, path)

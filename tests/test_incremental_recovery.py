@@ -136,13 +136,23 @@ def test_two_writer_race_refused(spark, idx):
 
 
 def test_torn_marker_write_recovers(spark, idx):
-    # a writer that died INSIDE the O_EXCL acquisition leaves a torn (or
-    # empty) marker; nothing was staged or moved, so recovery just clears it
+    # The link-based acquisition never exposes a content-less marker, so an
+    # unreadable one means filesystem damage / a foreign writer. A YOUNG
+    # torn marker is presumed HELD (ADVICE r5: deleting it could unlock a
+    # live writer mid-payload); past the grace period it is recoverable.
+    import time as _time
+
+    from blacklab_spark import incremental as inc
+
     path, _, _ = idx
     marker = os.path.join(path, PENDING_MARKER)
     with open(marker, "w") as f:
         f.write('{"new_n_segments": 9, "stag')  # torn mid-write
     meta_before = json.load(open(f"{path}/_meta.json"))
+    assert recover_pending(path) is False  # fresh → presumed held
+    assert os.path.exists(marker)
+    old = _time.time() - inc.MARKER_GRACE_SEC - 5
+    os.utime(marker, (old, old))  # age past the grace period
     assert recover_pending(path) is True
     assert not os.path.exists(marker)
     assert json.load(open(f"{path}/_meta.json")) == meta_before

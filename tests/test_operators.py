@@ -427,3 +427,33 @@ def test_autocomplete_insensitive_prefix(spark):
     # sensitive (default) behavior unchanged
     got = [r["term"] for r in autocomplete(td, "tabl").collect()]
     assert got == ["table"]
+
+
+def test_ivf_pivot_topk(spark):
+    # r6: the deterministic pivot quantizer (SQL-reproducible IVF — pivots
+    # are the data vectors with the lowest md5(id) digests, cells by cosine
+    # argmax). Full-probe degrades to exact; pivot choice is layout-stable.
+    rng = np.random.default_rng(6)
+    centers = rng.normal(size=(4, 16)) * 5
+    vecs = np.stack([centers[i % 4] + rng.normal(size=16) * 0.1 for i in range(80)])
+    pdf = pd.DataFrame({
+        "vec_id": range(80),
+        "embedding": [v.astype("float32").tolist() for v in vecs],
+    })
+    emb = spark.createDataFrame(pdf)
+    q = [float(x) for x in vecs[0]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()]
+
+    ids, P = similarity.ivf_pivot_select(emb, n_pivots=6)
+    assert len(ids) == 6 and P.shape == (6, 16)
+    # layout-independent: a repartitioned frame picks identical pivots
+    ids2, P2 = similarity.ivf_pivot_select(emb.repartition(7), n_pivots=6)
+    assert ids2 == ids and np.array_equal(P2, P)
+
+    asn = similarity.ivf_pivot_assign(emb, P)
+    full = [r["vec_id"] for r in similarity.ivf_pivot_topk(
+        emb, q, 10, pivots=P, assign=asn, nprobe=6).collect()]
+    assert full == exact  # probing every cell == brute force
+    part = [r["vec_id"] for r in similarity.ivf_pivot_topk(
+        emb, q, 10, pivots=P, assign=asn, nprobe=3).collect()]
+    assert len(set(part) & set(exact)) >= 5  # clustered data: decent recall

@@ -410,3 +410,39 @@ def test_alignment_hits_property_fuzz(spark):
                 ).collect()
             }
             assert got == naive(with_tgt), (trial, with_tgt)
+
+
+def test_capture_preserves_duplicate_hits(spark):
+    # ADVICE r5: same-extent hits reached via different match paths are
+    # distinct Hits in the reference — rcapture/with-spans must not collapse
+    # them (previously dropDuplicates before the capture join did)
+    from blacklab_spark.operators.relations import capture_relations_within
+    from blacklab_spark.operators.spans import capture_overlapping_spans
+
+    hits = spark.createDataFrame(
+        [(0, 0, 3), (0, 0, 3), (0, 5, 6)],
+        "doc_id long, start int, end int",
+    )
+    rels = spark.createDataFrame(
+        [(0, "det", 1, 2, 0, 1)],
+        "doc_id long, rel_type string, src_start int, src_end int, "
+        "tgt_start int, tgt_end int",
+    )
+    out = capture_relations_within(hits, rels, "r").collect()
+    assert len(out) == 3
+    caps = sorted((r["doc_id"], r["start"], r["end"], tuple(r["c_r"])) for r in out)
+    assert caps == [
+        (0, 0, 3, ("det:1-2>0-1",)),
+        (0, 0, 3, ("det:1-2>0-1",)),
+        (0, 5, 6, ()),
+    ]
+
+    others = spark.createDataFrame([(0, 2, 4)], "doc_id long, start int, end int")
+    out2 = capture_overlapping_spans(hits, others, "w").collect()
+    assert len(out2) == 3
+    caps2 = sorted((r["doc_id"], r["start"], r["end"], tuple(r["c_w"])) for r in out2)
+    assert caps2 == [
+        (0, 0, 3, ("2-4",)),
+        (0, 0, 3, ("2-4",)),
+        (0, 5, 6, ()),
+    ]
