@@ -984,9 +984,24 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                 *[F.col(c).cast("long").alias(c) for c in cols],
             )
 
+        # r6: rfield(q,'de') (XFRelations.rfield / SpanQueryOtherFieldHits) —
+        # the query's hits RE-SPANNED into the target version; over the 1:1
+        # positional alignments the de-side envelope of a width-2 hit is the
+        # same extent, which the oracle derives independently. The envelope
+        # capture columns don't exist on an rfield result (it IS the target
+        # span); -1 fillers keep the union schema.
+        rf = _to_orig(
+            ac.word, ac.find_cql('rfield("table" [], "de")'), "start", "end"
+        ).select(
+            F.lit("rfield").alias("variant"),
+            *[F.col(c).cast("long").alias(c) for c in ("doc_id", "start", "end")],
+            *[F.lit(-1).cast("long").alias(c)
+              for c in ("c_target_s", "c_target_e", "n_rels")],
+        )
         return (
             tag('"table" [] ==>de _', "pair_env")
             .unionByName(tag('"table" ==>de "elbat"', "tgt_filtered"))
+            .unionByName(rf)
         )
 
     def dedup_exact(spark, sf_dir):
@@ -1654,6 +1669,9 @@ FROM pos WHERE tok = 'table' AND i + 1 <= len(toks)
 UNION ALL
 SELECT 'tgt_filtered', doc_id, i - 1, i, i - 1, i, 1
 FROM pos WHERE tok = 'table'
+UNION ALL
+SELECT 'rfield', doc_id, i - 1, i + 1, -1, -1, -1
+FROM pos WHERE tok = 'table' AND i + 1 <= len(toks)
 """,
         "bm25_scores": f"""
 SELECT 'term' AS q, doc_id, score FROM ({_bm25_or_sql([TERM], None)}) a

@@ -223,14 +223,21 @@ class Corpus:
         Served from the driver-side term-dict cache when it fits (a
         vectorized fullmatch over the vocabulary — no Spark job per regex
         atom, mirroring Lucene's in-memory TermsEnum walk); huge
-        vocabularies fall back to a distributed term_dict scan."""
+        vocabularies fall back to a distributed term_dict scan.
+
+        The two paths use different regex engines (Python re vs Java
+        java.util.regex via rlike). Java's \\w/\\d/\\b and (?i) are
+        ASCII-biased by default while Python's are Unicode — so the fallback
+        enables UNICODE_CHARACTER_CLASS with an inline (?U) (which implies
+        UNICODE_CASE), aligning both engines on accented vocabularies;
+        cached==fallback agreement is pinned in test_sensitivity.py."""
         self.lookup_terms([])  # ensure the cache decision has been made
         cache = getattr(self, "_td_cache", None)
         if cache is not None:
             hit = cache.index[cache["term"].str.fullmatch(regex, na=False)]
             return sorted(hit[:max_terms])
         rows = (
-            self.term_dict.filter(F.col("term").rlike("^(?:" + regex + ")$"))
+            self.term_dict.filter(F.col("term").rlike("(?U)^(?:" + regex + ")$"))
             .select("term").limit(max_terms).collect()
         )
         return sorted(r["term"] for r in rows)

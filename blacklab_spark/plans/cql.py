@@ -172,6 +172,12 @@ class RcaptureNode:        # rcapture(q, 'label', 'type') — capture all
 
 
 @dataclass(frozen=True)
+class RfieldNode:          # rfield(q, 'fieldOrVersion') — the query's hits
+    node: object           # projected into another parallel field via the
+    version: str           # alignment relations (SpanQueryOtherFieldHits)
+
+
+@dataclass(frozen=True)
 class RelFuncNode:         # rel('type'[, target[, 'mode'[, 'direction']]])
     rel_type: str          # — XFRelations.rel: find relations by type and
     tgt: object | None     # target, span-adjusted to `mode` (default
@@ -539,6 +545,23 @@ class _Parser:
                 rtype = self._str_arg()
             self.eat("rpar")
             return RcaptureNode(inner, label, rtype)
+        if self.peek("ident") and self.peek("ident")[1] == "rfield":
+            # rfield(q, 'fieldOrVersion') — XFRelations.rfield
+            # (XFRelations.java:139-151): hits of q mapped into the named
+            # parallel field/version through the alignment relations, e.g.
+            # to highlight the other version with this query's hits; the
+            # query's own field name returns it unchanged
+            self.eat("ident")
+            self.eat("lpar")
+            inner = self.relquery()
+            self.eat("comma")
+            version = self._str_arg()
+            self.eat("rpar")
+            if not version:
+                raise ValueError(
+                    "rfield() requires a field or version name argument"
+                )
+            return RfieldNode(inner, version)
         if self.peek("ident") and self.peek("ident")[1] == "rspan":
             # rspan(A -rel-> B, 'mode') — adjust the relation match's span
             # (cql.jj relation functions; RelationInfo.SpanMode:83-96)
@@ -853,6 +876,27 @@ class CqlCompiler:
                 )
             return alignment_hits(
                 self.alignments, src, node.version, node.rel_type, tgt_spans
+            )
+        if isinstance(node, RfieldNode):
+            from blacklab_spark.operators.relations import alignment_hits
+
+            if node.version in ("", "word"):
+                # same field: nothing to project (XFRelations.java:146-148)
+                return self.compile(node.node)
+            if self.alignments is None:
+                raise ValueError(
+                    "rfield() on a corpus without an alignments table "
+                    "(build_alignments)"
+                )
+            src = self.compile(node.node).select(*SPAN_COLS)
+            env = alignment_hits(self.alignments, src, node.version, ".*")
+            # one hit per source hit, re-spanned to the target-side envelope
+            # (duplicate target extents from distinct source hits are kept,
+            # like the reference's per-hit mapping)
+            return env.select(
+                "doc_id",
+                F.col("c_target_s").alias("start"),
+                F.col("c_target_e").alias("end"),
             )
         if isinstance(node, RspanNode):
             from blacklab_spark.operators.relations import rspan_all

@@ -186,6 +186,9 @@ def tokenize_insensitive(text: str) -> list[str]:
 
 
 def tokenize_insensitive_series(texts: pd.Series) -> pd.Series:
+    """Vectorized i level. Same fold contract as the scalar
+    tokenize_insensitive: _FULL_FOLD_MAP (accents AND ĳ/æ/œ/ß digraphs) —
+    the two must agree byte-for-byte (pinned in test_sensitivity.py)."""
     return tokenize_series(texts).map(
-        lambda toks: [t.translate(_ACCENT_MAP) for t in toks]
+        lambda toks: [t.translate(_FULL_FOLD_MAP) for t in toks]
     )

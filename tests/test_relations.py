@@ -446,3 +446,29 @@ def test_capture_preserves_duplicate_hits(spark):
         (0, 0, 3, ("2-4",)),
         (0, 5, 6, ()),
     ]
+
+
+def test_rfield_projects_hits_into_other_version(pcorp):
+    # rfield(q, 'de') — XFRelations.rfield (XFRelations.java:139-151): the
+    # nl hits for "kat" rendered as de-side spans ("katze" positions)
+    out = pcorp.find_cql('rfield("kat", "de")').collect()
+    assert {(r["doc_id"], r["start"], r["end"]) for r in out} == {
+        (0, 1, 2), (1, 1, 2), (2, 3, 4)
+    }
+    assert set(out[0].asDict()) == {"doc_id", "start", "end"}
+    # multi-token query → target envelope of the covered alignments
+    env = pcorp.find_cql('rfield("als" [] "en", "de")').collect()
+    assert {(r["doc_id"], r["start"], r["end"]) for r in env} == {
+        (0, 0, 3), (2, 0, 3)
+    }
+
+
+def test_rfield_same_field_and_errors(pcorp):
+    # own field name: query unchanged (XFRelations.java:146-148)
+    same = pcorp.find_cql('rfield("kat", "word")').collect()
+    assert {(r["doc_id"], r["start"], r["end"]) for r in same} == {
+        (0, 1, 2), (1, 1, 2), (2, 3, 4)
+    }
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="field or version"):
+        pcorp.find_cql('rfield("kat", "")')
