@@ -962,11 +962,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             ),
             "pos", "context",
         ).select(F.lit("wspans").alias("part"), "doc_id", "pos", "context")
+        # r6: the serving facade pairing BOTH caps on one request
+        # (Corpus.hits_page / SearchSettings.java). Capped processing flips
+        # the estimate flag but never a checked value: n_processed =
+        # min(true_n, cap) is deterministic even though WHICH hits were
+        # processed is not (first-N semantics).
+        def facade_part(tag, mp, mc):
+            s = c.hits_page(f'"{TERM}"', max_process=mp, max_count=mc).summary
+            return s.select(
+                F.lit(tag).alias("part"),
+                F.col("n_processed").cast("long").alias("doc_id"),
+                F.col("processed_is_estimate").cast("int").alias("pos"),
+                F.concat_ws(
+                    ":", F.col("n_counted"), F.col("count_is_lower_bound")
+                ).alias("context"),
+            )
+
         return (
             page.unionByName(after)
             .unionByName(count_part("count_capped", 25))
             .unionByName(count_part("count_exact", 1 << 30))
             .unionByName(wspans)
+            .unionByName(facade_part("facade_capped", 30, 25))
+            .unionByName(facade_part("facade_exact", 1 << 30, 1 << 30))
         )
 
     def parallel_align(spark, sf_dir):
@@ -1736,6 +1754,12 @@ SELECT 'count_capped', least(n, 25), CASE WHEN n > 25 THEN 1 ELSE 0 END, ''
 FROM (SELECT count(*) AS n FROM h)
 UNION ALL
 SELECT 'count_exact', n, 0, '' FROM (SELECT count(*) AS n FROM h)
+UNION ALL
+SELECT 'facade_capped', least(n, 30), CASE WHEN n > 30 THEN 1 ELSE 0 END,
+       least(n, 25) || ':' || (CASE WHEN n > 25 THEN 1 ELSE 0 END)
+FROM (SELECT count(*) AS n FROM h)
+UNION ALL
+SELECT 'facade_exact', n, 0, n || ':0' FROM (SELECT count(*) AS n FROM h)
 UNION ALL
 -- with-spans("join", ("join" [])): overlapping join-bigrams per join hit,
 -- string-sorted like the engine's sort_array over "q-(q+2)" strings

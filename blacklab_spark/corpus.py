@@ -31,6 +31,7 @@ from __future__ import annotations
 import heapq
 import json
 import os
+from dataclasses import dataclass
 from typing import Iterator
 
 import numpy as np
@@ -47,6 +48,17 @@ _DECODED_SCHEMA = "term_id long, doc_id long, contrib double"
 _DECODED_POS_SCHEMA = (
     "term_id long, doc_id long, tf int, dl int, positions array<long>"
 )
+
+
+@dataclass
+class HitsPage:
+    """One serving request's results (Corpus.hits_page): the windowed hits,
+    optional groups over the processed hits, and the paired-cap summary row
+    (n_processed, processed_is_estimate, n_counted, count_is_lower_bound)."""
+
+    hits: DataFrame
+    groups: DataFrame | None
+    summary: DataFrame
 
 
 class Corpus:
@@ -1232,6 +1244,77 @@ class Corpus:
                 F.lit(0).alias("is_lower_bound"),
             )
         return capped_count(hits_df, max_count)
+
+    def hits_page(
+        self,
+        query: str,
+        *,
+        sort: list | None = None,
+        group_by: str | None = None,
+        first: int = 0,
+        number: int = 20,
+        context: int | None = None,
+        max_process: int | None = None,
+        max_count: int | None = None,
+    ) -> "HitsPage":
+        """Serving facade pairing BOTH per-request caps like the reference's
+        SearchSettings (engine/.../search/results/SearchSettings.java:
+        maxHitsToProcess + maxHitsToCount travel together on every search):
+
+          * sort / group / KWIC see at most `max_process` hits — the
+            reference stops RETRIEVING past that cap (first-N semantics,
+            an unordered limit here), and any statistic derived from them
+            is an ESTIMATE once the cap bites;
+          * counting is independently capped by `max_count` and reports a
+            lower bound (the "≥N" a UI shows) without scanning every hit.
+
+        Returns a HitsPage: `.hits` = the requested window (sorted, with
+        left/match/right context columns when `context` is given),
+        `.groups` = per-key hit counts over the processed hits (None when
+        group_by is None), `.summary` = ONE row
+        (n_processed, processed_is_estimate, n_counted, count_is_lower_bound).
+        Both cap probes compile to CollectLimit — a runaway query costs
+        O(cap), not O(hits)."""
+        from blacklab_spark.operators import grouping as G
+
+        hits_df = self.find_cql(query)
+        processed = (
+            G.process_window(hits_df, max_process)
+            if max_process is not None else hits_df
+        )
+        if max_process is not None:
+            pc = G.capped_count(hits_df, max_process).select(
+                F.col("n_hits").alias("n_processed"),
+                F.col("is_lower_bound").alias("processed_is_estimate"),
+            )
+        else:
+            pc = hits_df.agg(
+                F.count("*").alias("n_processed"),
+                F.lit(0).alias("processed_is_estimate"),
+            )
+        if max_count is not None:
+            cc = G.capped_count(hits_df, max_count).select(
+                F.col("n_hits").alias("n_counted"),
+                F.col("is_lower_bound").alias("count_is_lower_bound"),
+            )
+        else:
+            cc = hits_df.agg(
+                F.count("*").alias("n_counted"),
+                F.lit(0).alias("count_is_lower_bound"),
+            )
+        summary = pc.crossJoin(cc)
+        groups = None
+        if group_by is not None:
+            groups = processed.groupBy(group_by).agg(
+                F.count("*").alias("n_hits")
+            )
+        order = sort or [F.asc("doc_id"), F.asc("start"), F.asc("end")]
+        page = G.hits_window(processed, order, first, number)
+        if context is not None:
+            # KWIC joins only the page (≤ number rows), then the tiny result
+            # is re-ordered — the join itself does not preserve sort order
+            page = G.kwic_spans(page, self.docs, context).orderBy(*order)
+        return HitsPage(hits=page, groups=groups, summary=summary)
 
     def search(self, query: str, k: int = 10) -> DataFrame:
         """Parse a query string (mini-BCQL: terms / quoted phrase / /regex/)

@@ -133,6 +133,31 @@ def kwic(docs: DataFrame, term: str, context: int = 2) -> DataFrame:
     return kwic_hits(hits(docs, term), docs, context)
 
 
+def kwic_spans(h: DataFrame, docs: DataFrame, context: int = 2) -> DataFrame:
+    """KWIC for SPAN hits (doc_id, start, end[, ...]): multi-token matches
+    render whole (Kwics builds context around the full hit extent,
+    /root/reference/engine/src/main/java/nl/inl/blacklab/search/results/
+    hitresults/Kwics.java:27-46). Adds left/match/right; keeps every other
+    hit column (captures etc.). Same physical shape as kwic_hits: one
+    doc-keyed join + built-in array slicing, no Python."""
+    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    left_start = F.greatest(F.lit(1), F.col("start") + 1 - context)
+    left_len = F.col("start") + 1 - left_start
+    keep = [c for c in h.columns if c != "doc_id"]
+    return joined.select(
+        "doc_id",
+        *keep,
+        F.concat_ws(" ", F.slice("tokens", left_start, left_len)).alias("left"),
+        F.concat_ws(
+            " ",
+            F.slice("tokens", F.col("start") + 1, F.col("end") - F.col("start")),
+        ).alias("match"),
+        F.concat_ws(
+            " ", F.slice("tokens", F.col("end") + 1, F.lit(context))
+        ).alias("right"),
+    )
+
+
 def highlight_snippets(
     h: DataFrame, docs: DataFrame, context: int = 2,
     pre: str = "<<", post: str = ">>",

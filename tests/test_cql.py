@@ -519,3 +519,39 @@ def test_new_operator_plans_keyed_joins(cidx):
     import re as _re
     semi = [l for l in pm.splitlines() if "LeftSemi" in l]
     assert semi and all("<" not in l and ">" not in l for l in semi), semi
+
+
+def test_hits_page_facade_pairs_both_caps(cidx):
+    # r6 (VERDICT r5 #8): the serving facade threads maxHitsToProcess AND
+    # maxHitsToCount through one request like SearchSettings.java
+    pg = cidx.hits_page('"the"', number=3, context=1)
+    s = pg.summary.collect()[0]
+    assert (s["n_processed"], s["processed_is_estimate"],
+            s["n_counted"], s["count_is_lower_bound"]) == (7, 0, 7, 0)
+    rows = pg.hits.collect()
+    assert len(rows) == 3
+    assert all(r["match"] == "the" for r in rows)
+    keys = [(r["doc_id"], r["start"]) for r in rows]
+    assert keys == sorted(keys)
+    # both caps bite: processed stats become estimates, count a lower bound
+    pg2 = cidx.hits_page(
+        '"the"', max_process=4, max_count=2, group_by="doc_id"
+    )
+    s2 = pg2.summary.collect()[0]
+    assert (s2["n_processed"], s2["processed_is_estimate"],
+            s2["n_counted"], s2["count_is_lower_bound"]) == (4, 1, 2, 1)
+    # grouping ran over the PROCESSED window, not the full hit set
+    assert sum(r["n_hits"] for r in pg2.groups.collect()) == 4
+    # caps above the hit count change nothing
+    s3 = cidx.hits_page(
+        '"the"', max_process=100, max_count=100
+    ).summary.collect()[0]
+    assert (s3["n_processed"], s3["processed_is_estimate"],
+            s3["n_counted"], s3["count_is_lower_bound"]) == (7, 0, 7, 0)
+
+
+def test_hits_page_multitoken_kwic(cidx):
+    # span hits render the WHOLE extent as the match (Kwics.java:27-46)
+    rows = cidx.hits_page('"the" "quick"', context=2).hits.collect()
+    assert rows and all(r["match"] == "the quick" for r in rows)
+    assert all(r["end"] - r["start"] == 2 for r in rows)
