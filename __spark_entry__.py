@@ -36,7 +36,7 @@ from blacklab_spark.tokenizer import (
 # cache keyed by fold version: a fold-convention change invalidates every
 # resume=True index under it (Corpus gates on the meta fold_version stamp)
 CACHE_ROOT = os.environ.get(
-    "BLACKLAB_CACHE", f"/tmp/blacklab_entry_cache_f{FOLD_VERSION}"
+    "BLACKLAB_CACHE", f"/tmp/blacklab_entry_cache_f{FOLD_VERSION}o1"
 )
 
 # query constants shared between the Spark side and the SQL oracles
@@ -78,6 +78,9 @@ def _corpus(spark: SparkSession, sf_dir: str) -> Corpus:
         salt_df_threshold=1000,
         docs_per_salt=4096,
         resume=True,
+        # r6: store the token→character offset map (content-store role) so
+        # concordances can render raw-text substrings (kwic entry)
+        store_offsets=True,
     )
     return Corpus(spark, path)
 
@@ -908,13 +911,33 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def kwic(spark, sf_dir):
         # KWIC and highlight snippets over the same postings-decoded hits —
-        # one entry exercises both §2.4 concordance ops
+        # one entry exercises both §2.4 concordance ops. r6: plus the
+        # punctuation-faithful rendering (kwic_text): left/match/right as
+        # RAW-text substrings via the stored char offsets, which the oracle
+        # reconstructs with a from-scratch SQL offsets derivation
+        # (regexp_split cumulative lengths) + substring
         c = _corpus(spark, sf_dir)
         hits = _hits_from_index(c, TERM)
         kw = grouping.kwic_hits(hits, c.docs, context=2)
         hl = grouping.highlight_snippets(hits, c.docs, context=2)
-        out = kw.join(hl, ["doc_id", "pos"])
-        return _to_orig(c, out, "pos", "left", "match", "right", "snippet")
+        kt = grouping.kwic_text(
+            hits.select(
+                "doc_id", F.col("pos").alias("start"),
+                (F.col("pos") + 1).alias("end"),
+            ),
+            c.docs, context=2,
+        ).select(
+            "doc_id", F.col("start").alias("pos"),
+            F.col("left").alias("left_raw"),
+            F.col("match").alias("match_raw"),
+            F.col("right").alias("right_raw"),
+            F.col("snippet").alias("snippet_raw"),
+        )
+        out = kw.join(hl, ["doc_id", "pos"]).join(kt, ["doc_id", "pos"])
+        return _to_orig(
+            c, out, "pos", "left", "match", "right", "snippet",
+            "left_raw", "match_raw", "right_raw", "snippet_raw",
+        )
 
     def hits_page(spark, sf_dir):
         # r4 consolidation: Hits.window pagination + sorted-by-context-after
@@ -1718,17 +1741,50 @@ WHERE abs(p.i - h.i) <= 2 AND p.i != h.i
 GROUP BY p.tok
 """,
         "kwic": f"""
-WITH {_POS_CTES}
-SELECT doc_id, i - 1 AS pos,
-       coalesce(array_to_string(toks[greatest(1, i - 2):i - 1], ' '), '') AS left,
+WITH {_POS_CTES},
+-- token→char offsets derived FROM SCRATCH (not the engine's stored arrays):
+-- chars before raw token i = the i separators + the i-1 tokens before it
+offs AS (
+  SELECT doc_id, text,
+         regexp_extract_all(text, '{_SQL_TOK}') AS rtoks,
+         regexp_split_to_array(text, '{_SQL_TOK}') AS seps
+  FROM documents
+),
+oo AS (
+  SELECT doc_id, generate_subscripts(rtoks, 1) AS i,
+         coalesce(len(array_to_string(seps[1:generate_subscripts(rtoks, 1)], '')), 0)
+           + coalesce(len(array_to_string(rtoks[1:generate_subscripts(rtoks, 1) - 1], '')), 0) AS cs,
+         len(rtoks[generate_subscripts(rtoks, 1)]) AS tl
+  FROM offs
+),
+oe AS (SELECT doc_id, i, cs, cs + tl AS ce FROM oo),
+ocnt AS (SELECT doc_id, max(i) AS n FROM oe GROUP BY doc_id),
+h AS (SELECT doc_id, i FROM pos WHERE tok = '{TERM}'),
+raw AS (
+  SELECT h.doc_id, h.i - 1 AS pos,
+         substring(d.text, l.cs + 1, m.cs - l.cs) AS left_raw,
+         substring(d.text, m.cs + 1, m.ce - m.cs) AS match_raw,
+         substring(d.text, m.ce + 1, r.ce - m.ce) AS right_raw
+  FROM h
+  JOIN documents d ON d.doc_id = h.doc_id
+  JOIN ocnt n ON n.doc_id = h.doc_id
+  JOIN oe m ON m.doc_id = h.doc_id AND m.i = h.i
+  JOIN oe l ON l.doc_id = h.doc_id AND l.i = greatest(h.i - 2, 1)
+  JOIN oe r ON r.doc_id = h.doc_id AND r.i = least(h.i + 2, n.n)
+)
+SELECT p.doc_id, p.i - 1 AS pos,
+       coalesce(array_to_string(toks[greatest(1, p.i - 2):p.i - 1], ' '), '') AS left,
        tok AS match,
-       coalesce(array_to_string(toks[i + 1:least(len(toks), i + 2)], ' '), '') AS right,
+       coalesce(array_to_string(toks[p.i + 1:least(len(toks), p.i + 2)], ' '), '') AS right,
        concat_ws(' ',
-         nullif(coalesce(array_to_string(toks[greatest(1, i - 2):i - 1], ' '), ''), ''),
+         nullif(coalesce(array_to_string(toks[greatest(1, p.i - 2):p.i - 1], ' '), ''), ''),
          '<<' || tok || '>>',
-         nullif(coalesce(array_to_string(toks[i + 1:least(len(toks), i + 2)], ' '), ''), '')
-       ) AS snippet
-FROM pos WHERE tok = '{TERM}'
+         nullif(coalesce(array_to_string(toks[p.i + 1:least(len(toks), p.i + 2)], ' '), ''), '')
+       ) AS snippet,
+       raw.left_raw, raw.match_raw, raw.right_raw,
+       raw.left_raw || '<<' || raw.match_raw || '>>' || raw.right_raw AS snippet_raw
+FROM pos p JOIN raw ON raw.doc_id = p.doc_id AND raw.pos = p.i - 1
+WHERE p.tok = '{TERM}'
 """,
         "textstats_suite": f"""
 WITH tc AS ({tc_sql}), qq AS ({q_sql}), ll AS ({l_sql}), fpp AS ({fp_sql})

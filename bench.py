@@ -52,6 +52,38 @@ def _cpu_probe(seconds: float = 0.4, workers: int = 8) -> float:
     return round(total / (time.time() - t0) / 1e6, 1)
 
 
+def _membw_probe(seconds: float = 0.4, workers: int = 4, mb: int = 256) -> float:
+    """Aggregate DRAM-bandwidth probe (GB/s over `workers` concurrent numpy
+    memcpy streams; read+write traffic counted). The r5 postmortem showed the
+    CPU probe alone missing a degradation that only hit MEMORY-bound work
+    (warm queries 2x slower while the CPU probe read clean) — this box's
+    DRAM ceiling saturates at ~4 streams, so 4 workers measure the shared
+    ceiling the query path actually runs against."""
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def burn(q):
+        src = np.ones(mb * 1024 * 1024 // 8, dtype=np.float64)
+        dst = np.empty_like(src)
+        np.copyto(dst, src)  # fault dst's pages in BEFORE the timed window
+        t0 = time.time()
+        n = 0
+        while time.time() - t0 < seconds:
+            np.copyto(dst, src)
+            n += 1
+        q.put(n * src.nbytes * 2 / (time.time() - t0))
+
+    q = mp.Queue()
+    procs = [mp.Process(target=burn, args=(q,)) for _ in range(workers)]
+    for p in procs:
+        p.start()
+    total = sum(q.get() for _ in procs)
+    for p in procs:
+        p.join()
+    return round(total / 1e9, 1)
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -94,70 +126,79 @@ def main():
         c = Corpus(spark, idx_dir)
 
         # ---- query set (FIXTURES.md §4 shapes) ----
-        qset = [
-            ("q_term_low", lambda: c.search_or(["w4999"], k=10).collect()),
-            ("q_term_high", lambda: c.search_or(["the"], k=10).collect()),
-            ("q_or3", lambda: c.search_or(["w0100", "w0200", "w0300"], k=10).collect()),
-            ("q_or_stop", lambda: c.search_or(["the", "of", "and"], k=10).collect()),
-            ("q_and", lambda: c.search_and(["the", "w0050"], k=10).collect()),
-            ("q_regex", lambda: c.search("w001*", k=10).collect()),
-            ("q_phrase", lambda: c.search_phrase(["the", "of"], k=10).collect()),
-            ("q_term_k1000", lambda: c.search_or(["w0050"], k=1000).collect()),
-            ("q_span_seq", lambda: c.find_cql('"the" []{0,2} "of"').count()),
-            # 3-clause stop-word chain: stays in the array domain end to end
-            # (r3 generalized sequence path — chained array_intersect)
-            ("q_seq3", lambda: c.find_cql('"the" "of" "and"').count()),
-            ("q_colloc", lambda: collocations_hits(
-                c.spans_term("w0100").selectExpr("doc_id", "start as pos"),
-                c.docs, 2,
-            ).collect()),
-            ("q_group_meta", lambda: c.docs.groupBy("role").count().collect()),
-        ]
-        # BENCH_QUERY_FILTER=q_a,q_b restricts the set — used by the scaling
-        # evidence to measure compute-bound queries (the full set at small sf
-        # is dominated by fixed per-job scheduling latency, which no core
-        # count can speed up)
-        qfilter = os.environ.get("BENCH_QUERY_FILTER")
-        if qfilter:
-            keep = set(qfilter.split(","))
-            qset = [(n, f) for n, f in qset if n in keep]
+        def make_qset(cc):
+            return [
+                ("q_term_low", lambda: cc.search_or(["w4999"], k=10).collect()),
+                ("q_term_high", lambda: cc.search_or(["the"], k=10).collect()),
+                ("q_or3", lambda: cc.search_or(["w0100", "w0200", "w0300"], k=10).collect()),
+                ("q_or_stop", lambda: cc.search_or(["the", "of", "and"], k=10).collect()),
+                ("q_and", lambda: cc.search_and(["the", "w0050"], k=10).collect()),
+                ("q_regex", lambda: cc.search("w001*", k=10).collect()),
+                ("q_phrase", lambda: cc.search_phrase(["the", "of"], k=10).collect()),
+                ("q_term_k1000", lambda: cc.search_or(["w0050"], k=1000).collect()),
+                ("q_span_seq", lambda: cc.find_cql('"the" []{0,2} "of"').count()),
+                # 3-clause stop-word chain: stays in the array domain end to
+                # end (r3 generalized sequence path — chained array_intersect)
+                ("q_seq3", lambda: cc.find_cql('"the" "of" "and"').count()),
+                ("q_colloc", lambda: collocations_hits(
+                    cc.spans_term("w0100").selectExpr("doc_id", "start as pos"),
+                    cc.docs, 2,
+                ).collect()),
+                ("q_group_meta", lambda: cc.docs.groupBy("role").count().collect()),
+            ]
+
+        def apply_filter(qs):
+            # BENCH_QUERY_FILTER=q_a,q_b restricts the set — used by the
+            # scaling evidence to measure compute-bound queries (the full set
+            # at small sf is dominated by fixed per-job scheduling latency,
+            # which no core count can speed up)
+            qfilter = os.environ.get("BENCH_QUERY_FILTER")
+            if qfilter:
+                keep = set(qfilter.split(","))
+                qs = [(n, f) for n, f in qs if n in keep]
+            return qs
+
+        qset = apply_filter(make_qset(c))
 
         probe_before = _cpu_probe()
+        membw_before = _membw_probe()
 
-        # BENCH_ROUNDS interleaved passes over the whole set, per-query BEST
-        # — host capacity here swings up to 3x within minutes (SCALING_r3),
-        # so a single sequential pass is not defensible round-over-round;
-        # round-robin + best-of damps the drift without hiding cold costs
-        # (pass 1 is still the cold pass; its numbers appear in queries_all)
-        n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
-        all_rounds: list[dict[str, float]] = []
-        for _ in range(n_rounds):
+        def run_pass(qs):
             r: dict[str, float] = {}
-            for name, fn in qset:
+            for name, fn in qs:
                 t = time.time()
                 fn()
                 r[name] = round(time.time() - t, 4)
-            all_rounds.append(r)
-        queries = {n: min(r[n] for r in all_rounds) for n, _ in qset}
+            return r
 
-        # serving mode: pin postings/docs in executor memory (Corpus.preload,
-        # the open-IndexReader analog) and re-run — steady-state QPS.
-        #
-        # PROBE-FLOOR GATE (BENCH r5 postmortem): this host has degraded
-        # windows (8-worker probe ~90-115 Mops vs clean 125-140) lasting
-        # 45+ min; r5's warm pass landed entirely inside one, recording
-        # warm > cold — physically implausible for the unchanged code path.
-        # Each warm round is bracketed by probes and counts as CLEAN only if
-        # BOTH clear BENCH_PROBE_FLOOR; degraded probes trigger a sleep +
-        # retry (bounded by BENCH_PROBE_RETRIES). queries_warm is the
-        # per-query best over clean rounds when any exist — else over all
-        # rounds, flagged warm_gate.clean=false for the record.
-        c.preload()
+        # INTERLEAVED cold/warm protocol (BENCH r5 postmortem + VERDICT r6
+        # ask): the r5 number of record measured all cold rounds, then all
+        # warm rounds — a host-degradation window that opened between the two
+        # populations recorded warm > cold, physically implausible for the
+        # unchanged code path. Now:
+        #   * pass 0 is the TRUE cold pass (fresh JVM/python workers,
+        #     nothing pinned) — ungated, always recorded;
+        #   * the "warm" population is a second Corpus over the same index
+        #     in serving mode (preload — the open-IndexReader analog);
+        #   * each subsequent round runs cold-pass then warm-pass
+        #     back-to-back (cold₁ warm₁ cold₂ warm₂ …) inside ONE
+        #     probe-bracketed window, so drift hits both populations
+        #     equally; per-population best-of over CLEAN rounds.
+        # A round is CLEAN only if the bracketing CPU probes clear
+        # BENCH_PROBE_FLOOR *and* the DRAM-bandwidth probe clears
+        # BENCH_MEMBW_FLOOR (the r5 degradation was memory-side and
+        # invisible to the CPU probe); degraded probes sleep + retry.
+        n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
         floor = float(os.environ.get("BENCH_PROBE_FLOOR", "118"))
+        mfloor = float(os.environ.get("BENCH_MEMBW_FLOOR", "40"))
         max_attempts = int(os.environ.get("BENCH_PROBE_RETRIES", "12"))
         gate_sleep = float(os.environ.get("BENCH_PROBE_SLEEP", "15"))
-        warm_rounds = []   # [{'times': {...}, 'clean': bool, 'probes': [p0, p1]}]
-        warm_skips: list[float] = []
+
+        cold_rounds: list[dict[str, float]] = [run_pass(qset)]
+        cw = Corpus(spark, idx_dir).preload()
+        wqset = apply_filter(make_qset(cw))
+        warm_rounds = []  # [{'times', 'cold_pair', 'clean', 'probes', 'membw'}]
+        warm_skips: list[list[float]] = []
         attempts = 0
         while (
             sum(w["clean"] for w in warm_rounds) < n_rounds
@@ -165,36 +206,45 @@ def main():
         ):
             attempts += 1
             p0 = _cpu_probe()
-            if p0 < floor:
-                warm_skips.append(p0)
+            m0 = _membw_probe()
+            if p0 < floor or m0 < mfloor:
+                warm_skips.append([p0, m0])
                 if attempts < max_attempts:
                     time.sleep(gate_sleep)
                 continue
-            r = {}
-            for name, fn in qset:
-                t = time.time()
-                fn()
-                r[name] = round(time.time() - t, 4)
+            cr = run_pass(qset)
+            wr = run_pass(wqset)
             p1 = _cpu_probe()
-            warm_rounds.append(
-                {"times": r, "clean": min(p0, p1) >= floor, "probes": [p0, p1]}
-            )
+            cold_rounds.append(cr)
+            warm_rounds.append({
+                "times": wr,
+                "cold_pair": cr,
+                "clean": min(p0, p1) >= floor and m0 >= mfloor,
+                "probes": [p0, p1],
+                "membw": m0,
+            })
         if not warm_rounds:  # every attempt probed degraded: record one anyway
-            r = {}
-            for name, fn in qset:
-                t = time.time()
-                fn()
-                r[name] = round(time.time() - t, 4)
-            warm_rounds.append({"times": r, "clean": False, "probes": []})
+            cr = run_pass(qset)
+            wr = run_pass(wqset)
+            cold_rounds.append(cr)
+            warm_rounds.append({
+                "times": wr, "cold_pair": cr, "clean": False,
+                "probes": [], "membw": None,
+            })
+        queries = {n: min(r[n] for r in cold_rounds) for n, _ in qset}
+        all_rounds = cold_rounds
         clean = [w for w in warm_rounds if w["clean"]] or warm_rounds
         queries_warm = {n: min(w["times"][n] for w in clean) for n, _ in qset}
         warm_gate = {
             "floor_mops": floor,
+            "membw_floor_gbs": mfloor,
             "clean": any(w["clean"] for w in warm_rounds),
             "clean_rounds": sum(w["clean"] for w in warm_rounds),
             "rounds_run": len(warm_rounds),
+            "interleaved": True,
             "degraded_probes_skipped": warm_skips,
             "round_probes": [w["probes"] for w in warm_rounds],
+            "round_membw": [w["membw"] for w in warm_rounds],
         }
 
         # BENCH_CONCURRENT=K: run the query set K times over a thread pool —
@@ -208,7 +258,7 @@ def main():
         if n_conc:
             import concurrent.futures as cf
 
-            jobs = [fn for _, fn in qset] * n_conc
+            jobs = [fn for _, fn in wqset] * n_conc
             t0 = time.time()
             with cf.ThreadPoolExecutor(max_workers=min(len(jobs), 16)) as ex:
                 list(ex.map(lambda f: f(), jobs))
@@ -222,20 +272,20 @@ def main():
         # plan-keyed search cache (SearchCache analog): the same CQL query
         # repeated — the BLS workload — must come back from the persisted
         # result, not a replan+rescan
-        c.enable_search_cache()
+        cw.enable_search_cache()
         t = time.time()
-        c.find_cql('"the" []{0,2} "of"').count()
+        cw.find_cql('"the" []{0,2} "of"').count()
         cache_first = time.time() - t
         t = time.time()
-        c.find_cql('"the" []{0,2} "of"').count()
+        cw.find_cql('"the" []{0,2} "of"').count()
         cache_repeat = time.time() - t
         # r4: the BM25 scoring path routes through the same cache now —
         # a repeated top-k must come back from the persisted result
         t = time.time()
-        c.search_or(["the", "of", "and"], k=10).collect()
+        cw.search_or(["the", "of", "and"], k=10).collect()
         bm25_first = time.time() - t
         t = time.time()
-        c.search_or(["the", "of", "and"], k=10).collect()
+        cw.search_or(["the", "of", "and"], k=10).collect()
         bm25_repeat = time.time() - t
 
         # ---- append path (r5, VERDICT #8): add_to_index throughput +
@@ -266,6 +316,7 @@ def main():
             compact_sec = time.time() - t
 
         probe_after = _cpu_probe()
+        membw_after = _membw_probe()
 
         total = round(build_sec + sum(queries.values()), 4)
         out = {
@@ -289,6 +340,8 @@ def main():
             "probe": {
                 "before_mops": probe_before,
                 "after_mops": probe_after,
+                "before_membw_gbs": membw_before,
+                "after_membw_gbs": membw_after,
                 "rounds": n_rounds,
             },
             "queries_all_rounds": all_rounds,

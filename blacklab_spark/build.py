@@ -42,7 +42,12 @@ from pyspark.sql import types as T
 
 from blacklab_spark import codecs, scoring
 from blacklab_spark.docmap import assign_dense_ids
-from blacklab_spark.tokenizer import FOLD_VERSION, TOKEN_PATTERN, tokenize_series
+from blacklab_spark.tokenizer import (
+    FOLD_VERSION,
+    TOKEN_PATTERN,
+    tokenize_series,
+    tokenize_series_with_offsets,
+)
 
 SCHEMA_VERSION = 1
 
@@ -226,12 +231,20 @@ def build_index(
     salt_df_threshold: int = 100_000,
     docs_per_salt: int = 1 << 20,
     resume: bool = False,
+    store_offsets: bool = False,
 ) -> IndexPaths:
     """Build the full inverted index at `path` from a transcripts DataFrame.
 
     transcripts: any DataFrame containing the doc_key columns plus `text`;
     extra columns (role, tool, ts, ...) are carried into the docs table as
     metadata fields (the reference's doc metadata analog).
+
+    store_offsets=True additionally stores per-token [start, end) CHAR
+    offsets into the raw text (tok_starts / tok_ends int arrays beside
+    tokens) — the content-store token→character map the reference uses for
+    punctuation-faithful concordances (Kwics + content store). Only valid
+    when tokenizing from `text` (pre-tokenized input has no offsets).
+    ~8 bytes/token of extra parquet; the hot query paths never read it.
 
     Pre-tokenized input: if the frame already has a `tokens` array<string>
     column it is indexed AS IS (no tokenizer pass) — the path annotation
@@ -278,6 +291,11 @@ def build_index(
         bc_offsets = spark.sparkContext.broadcast(offsets)
 
         pretokenized = "tokens" in transcripts.columns
+        if store_offsets and pretokenized:
+            raise ValueError(
+                "store_offsets needs raw `text` input — pre-tokenized "
+                "frames carry no character offsets"
+            )
         # array<array<string>> input = MULTI-VALUE positions: outer index is
         # the token position, inner lists are the values indexed there
         # (position-increment-0 synonyms). The docs table keeps the MAIN
@@ -300,6 +318,13 @@ def build_index(
                     T.ArrayType(T.ArrayType(T.StringType())),
                 )]
                 if multivalue else []
+            )
+            + (
+                [
+                    T.StructField("tok_starts", T.ArrayType(T.IntegerType())),
+                    T.StructField("tok_ends", T.ArrayType(T.IntegerType())),
+                ]
+                if store_offsets else []
             )
         )
 
@@ -334,6 +359,12 @@ def build_index(
                     extra["tokens_mv"] = mv
                 elif pretokenized:
                     toks = pdf.pop("tokens").map(list)
+                elif store_offsets:
+                    toks, starts, ends = tokenize_series_with_offsets(
+                        pdf["text"]
+                    )
+                    extra["tok_starts"] = starts
+                    extra["tok_ends"] = ends
                 else:
                     toks = tokenize_series(pdf["text"])
                 pdf = pdf.assign(

@@ -178,6 +178,52 @@ def highlight_snippets(
     return k.select("doc_id", "pos", snippet.alias("snippet"))
 
 
+def kwic_text(h: DataFrame, docs: DataFrame, context: int = 2) -> DataFrame:
+    """Punctuation-faithful KWIC: left/match/right rendered as SUBSTRINGS of
+    the retained raw `text` using the stored token char-offsets
+    (build_index(store_offsets=True)) — the content-store role the reference
+    serves from Kwics/Contexts + the punct annotation (engine/.../search/
+    results/hitresults/Kwics.java:27-31; DocContentsFromForwardIndex), so
+    original spacing/punctuation survive instead of single-space re-joins.
+
+    h: span hits (doc_id, start, end). Output adds left/match/right plus
+    `snippet` = the raw window with <<…>> around the match — an exact
+    substring reconstruction, byte-identical to what a SQL substring over
+    the same offsets produces. Context windows clamp at the doc edges; text
+    before the first context token / after the last is not included (the
+    window is token-addressed, like the reference's wordsaroundhit).
+    Built-ins only (element_at/substring) — no Python in the hot path."""
+    need = {"text", "tok_starts", "tok_ends"}
+    if not need <= set(docs.columns):
+        raise ValueError(
+            "kwic_text needs docs columns text/tok_starts/tok_ends — "
+            "build the index with store_offsets=True"
+        )
+    joined = h.join(
+        docs.select("doc_id", "text", "tok_starts", "tok_ends"), "doc_id"
+    )
+    cs = F.element_at("tok_starts", F.col("start") + 1)
+    ce = F.element_at("tok_ends", F.col("end"))
+    lt = F.greatest(F.col("start") - context, F.lit(0))
+    lcs = F.element_at("tok_starts", lt + 1)
+    rt = F.least(F.col("end") + context, F.size("tok_ends"))
+    rce = F.element_at("tok_ends", rt)
+    left = F.substring(F.col("text"), lcs + 1, cs - lcs)
+    match = F.substring(F.col("text"), cs + 1, ce - cs)
+    right = F.substring(F.col("text"), ce + 1, rce - ce)
+    keep = [c for c in h.columns if c != "doc_id"]
+    return joined.select(
+        "doc_id",
+        *keep,
+        left.alias("left"),
+        match.alias("match"),
+        right.alias("right"),
+        F.concat(
+            left, F.lit("<<"), match, F.lit(">>"), right
+        ).alias("snippet"),
+    )
+
+
 def sort_hits_by_context_hits(
     h: DataFrame, docs: DataFrame, offset: int = 1, limit: int | None = None
 ) -> DataFrame:

@@ -82,6 +82,33 @@ def tokenize_series(texts: pd.Series) -> pd.Series:
     return texts.fillna("").str.lower().str.findall(TOKEN_RE)
 
 
+def tokenize_series_with_offsets(
+    texts: pd.Series,
+) -> tuple[pd.Series, pd.Series, pd.Series]:
+    """Tokens + [start, end) CHAR offsets into the RAW text — the content
+    store's token→character map (the role the reference's content store +
+    punct annotation serve for faithful concordances, engine/.../search/
+    results/hitresults/Kwics.java:27-46). finditer runs over the raw text
+    (the token class is case-closed, so matches equal the lowered pass for
+    any text where lower() is length-preserving — same alignment contract
+    as tokenize_sensitive); token VALUES are lowered to keep the ci level.
+    Returns (tokens, starts, ends) series of equal-length lists."""
+    def one(t):
+        toks, ss, es = [], [], []
+        for m in TOKEN_RE.finditer(t or ""):
+            toks.append(m.group().lower())
+            ss.append(m.start())
+            es.append(m.end())
+        return toks, ss, es
+
+    trip = texts.map(one)
+    return (
+        trip.map(lambda x: x[0]),
+        trip.map(lambda x: x[1]),
+        trip.map(lambda x: x[2]),
+    )
+
+
 # --- case-SENSITIVE variant (the reference's @s sensitivity) -----------------
 # Position-alignment contract: sensitive tokens are matched on the RAW text;
 # for any text whose lower() maps letters to single letters (virtually all

@@ -457,3 +457,53 @@ def test_ivf_pivot_topk(spark):
     part = [r["vec_id"] for r in similarity.ivf_pivot_topk(
         emb, q, 10, pivots=P, assign=asn, nprobe=3).collect()]
     assert len(set(part) & set(exact)) >= 5  # clustered data: decent recall
+
+
+def test_kwic_text_raw_fidelity(spark, tmp_root):
+    # r6 (VERDICT r5 #4): concordances rendered from the RAW text via stored
+    # char offsets keep original punctuation/spacing — vs the token re-join
+    import pandas as pd
+
+    from blacklab_spark.build import build_index
+    from blacklab_spark.corpus import Corpus
+    from blacklab_spark.operators.grouping import kwic_text
+
+    texts = [
+        "Hello, world!  The quick (brown) fox.",
+        "Wait... the FOX, again?!",
+        "no punctuation here the fox runs",
+    ]
+    pdf = pd.DataFrame(
+        [("c", i, t) for i, t in enumerate(texts)],
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    path = f"{tmp_root}/kwic_raw_idx"
+    build_index(spark, spark.createDataFrame(pdf), path, block_size=4,
+                store_offsets=True)
+    c = Corpus(spark, path)
+    out = {
+        (r["doc_id"], r["start"]): r
+        for r in kwic_text(c.find_cql('"fox"'), c.docs, context=2).collect()
+    }
+    r0 = out[(0, 5)]
+    # '(brown) fox.' — parens survive; trailing '.' is outside the token window
+    assert (r0["left"], r0["match"], r0["right"]) == ("quick (brown) ", "fox", "")
+    assert r0["snippet"] == "quick (brown) <<fox>>"
+    r1 = out[(1, 2)]
+    assert (r1["left"], r1["match"], r1["right"]) == ("Wait... the ", "FOX", ", again")
+    assert r1["snippet"] == "Wait... the <<FOX>>, again"
+    r2 = out[(2, 4)]
+    assert (r2["left"], r2["match"], r2["right"]) == ("here the ", "fox", " runs")
+    # multi-token span: the whole extent is one raw substring
+    span = kwic_text(
+        c.find_cql('"quick" [] "fox"'), c.docs, context=1
+    ).collect()[0]
+    assert span["match"] == "quick (brown) fox"
+    assert span["left"] == "The "
+    # offsets refuse on an index built without them
+    import pytest as _pytest
+    path2 = f"{tmp_root}/kwic_plain_idx"
+    build_index(spark, spark.createDataFrame(pdf), path2, block_size=4)
+    c2 = Corpus(spark, path2)
+    with _pytest.raises(ValueError, match="store_offsets"):
+        kwic_text(c2.find_cql('"fox"'), c2.docs, 2)
