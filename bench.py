@@ -188,14 +188,18 @@ def main():
         # BENCH_PROBE_FLOOR *and* the DRAM-bandwidth probe clears
         # BENCH_MEMBW_FLOOR (the r5 degradation was memory-side and
         # invisible to the CPU probe); degraded probes sleep + retry.
-        n_rounds = int(os.environ.get("BENCH_ROUNDS", "3"))
+        n_rounds = int(os.environ.get("BENCH_ROUNDS", "4"))
         floor = float(os.environ.get("BENCH_PROBE_FLOOR", "118"))
         mfloor = float(os.environ.get("BENCH_MEMBW_FLOOR", "40"))
         max_attempts = int(os.environ.get("BENCH_PROBE_RETRIES", "12"))
         gate_sleep = float(os.environ.get("BENCH_PROBE_SLEEP", "15"))
 
         cold_rounds: list[dict[str, float]] = [run_pass(qset)]
-        cw = Corpus(spark, idx_dir).preload()
+        # pin_docs=False: persisting the docs relation re-converts row-wise
+        # to Arrow for mapInArrow consumers and measurably hurts the span
+        # queries on this box (r5 BENCH note) — serving mode page-warms
+        # parquet instead
+        cw = Corpus(spark, idx_dir).preload(pin_docs=False)
         wqset = apply_filter(make_qset(cw))
         warm_rounds = []  # [{'times', 'cold_pair', 'clean', 'probes', 'membw'}]
         warm_skips: list[list[float]] = []
@@ -212,8 +216,14 @@ def main():
                 if attempts < max_attempts:
                     time.sleep(gate_sleep)
                 continue
-            cr = run_pass(qset)
-            wr = run_pass(wqset)
+            # alternate which population runs first inside the pair, so
+            # neither systematically enjoys the hotter second slot
+            if attempts % 2:
+                cr = run_pass(qset)
+                wr = run_pass(wqset)
+            else:
+                wr = run_pass(wqset)
+                cr = run_pass(qset)
             p1 = _cpu_probe()
             cold_rounds.append(cr)
             warm_rounds.append({
