@@ -567,10 +567,13 @@ pos AS (
 
 
 def _term_sort_sql() -> str:
-    """DuckDB reproduction of the collation-ordered term listing over the
-    sensitivity fixture's word_ci vocabulary: same derived layer, same
-    fold_sql collation key, same (sort_key, term) order, rank checked."""
-    from blacklab_spark.tokenizer import fold_sql
+    """DuckDB reproduction of the collation-ordered term listings over the
+    sensitivity fixture: part 'i' = the word_ci vocabulary under the
+    INSENSITIVE fold_sql key; part 's' = the raw word_s vocabulary under
+    the SENSITIVE tertiary-strength key (collation_sql_sensitive — the
+    same translate/concat expression text both engines evaluate). Same
+    (sort_key, term) order, rank checked."""
+    from blacklab_spark.tokenizer import collation_sql_sensitive, fold_sql
 
     return f"""
 WITH t AS (
@@ -579,21 +582,36 @@ WITH t AS (
 ),
 c AS (
   SELECT doc_id,
-         list_transform(toks, x -> lower({_CASE_RULE.format(x='x')})) AS ci
+         list_transform(toks, x -> {_CASE_RULE.format(x='x')}) AS s
   FROM t
 ),
-u AS (SELECT doc_id, unnest(ci) AS term FROM c),
-td AS (
-  SELECT term, count(DISTINCT doc_id) AS df, count(*) AS cf
-  FROM u GROUP BY term
+u AS (SELECT doc_id, unnest(s) AS s_term FROM c),
+td_ci AS (
+  SELECT lower(s_term) AS term,
+         count(DISTINCT doc_id) AS df, count(*) AS cf
+  FROM u GROUP BY 1
 ),
-k AS (
+td_s AS (
+  SELECT s_term AS term, count(DISTINCT doc_id) AS df, count(*) AS cf
+  FROM u GROUP BY 1
+),
+k_i AS (
   SELECT term, {fold_sql('lower(term)')} AS sort_key, df, cf
-  FROM td ORDER BY sort_key, term LIMIT 100
+  FROM td_ci ORDER BY sort_key, term LIMIT 100
+),
+k_s AS (
+  SELECT term, {collation_sql_sensitive('term')} AS sort_key, df, cf
+  FROM td_s ORDER BY sort_key, term LIMIT 100
 )
-SELECT row_number() OVER (ORDER BY sort_key, term) AS rank,
+SELECT 'i' AS part,
+       row_number() OVER (ORDER BY sort_key, term) AS rank,
        term, sort_key, df, cf
-FROM k
+FROM k_i
+UNION ALL
+SELECT 's' AS part,
+       row_number() OVER (ORDER BY sort_key, term) AS rank,
+       term, sort_key, df, cf
+FROM k_s
 """
 
 
@@ -1385,17 +1403,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def term_sort(spark, sf_dir):
-        # collation-ordered term listing (r5, VERDICT #3): the ORDER is the
-        # checked value (explicit rank column) over the é/ß/ĳ-bearing
-        # word_ci vocabulary of the sensitivity fixture — 'tablé' must rank
-        # with 'table', not after 'z' (Collators.java insensitive order);
-        # full-ICU residual divergence documented in COVERAGE.md
+        # collation-ordered term listings (r5 VERDICT #3 + r6 tertiary):
+        # the ORDER is the checked value (explicit rank column).
+        #   part 'i': INSENSITIVE collator over the word_ci vocabulary —
+        #     'tablé' ranks with 'table', not after 'z' (Collators.java
+        #     PRIMARY-like order)
+        #   part 's': SENSITIVE TERTIARY-strength collator over the raw
+        #     word_s vocabulary (Case+é/ß/ĳ-bearing) — base letters, then
+        #     diacritics, then case (Collators.java:20-40 ICU TERTIARY;
+        #     UCA-approximation notes in tokenizer.py / COVERAGE.md)
         ac = _sens_corpus(spark, sf_dir)
-        return grouping.term_listing(
-            ac.layers["word_ci"].term_dict, k=100
-        ).select(
-            F.col("rank").cast("long").alias("rank"),
-            "term", "sort_key", "df", "cf",
+
+        def listing(layer, tag, sensitive):
+            return grouping.term_listing(
+                ac.layers[layer].term_dict, k=100, sensitive=sensitive
+            ).select(
+                F.lit(tag).alias("part"),
+                F.col("rank").cast("long").alias("rank"),
+                "term", "sort_key", "df", "cf",
+            )
+
+        return listing("word_ci", "i", False).unionByName(
+            listing("word_s", "s", True)
         )
 
     def rel_nsubj(spark, sf_dir):

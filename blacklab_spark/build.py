@@ -432,11 +432,32 @@ def build_index(
     # ---------------- stage: term_dict --------------------------------------
     if not _stage_done(paths, "term_dict", paths.term_dict):
         t0 = time.time()
+        # Term stats WITHOUT the Python tfpos pass (r6): df/cf only need
+        # element counts, so two JVM-columnar explodes with map-side partial
+        # aggregation (shuffle carries ~vocabulary rows, not postings) —
+        # whole-stage codegen end to end. The expensive position-encoding
+        # mapInArrow pass now runs exactly ONCE per build (postings stage);
+        # before r6 it ran twice and capped build scaling (BENCH/
+        # SCALING_r6_build_480k.md: term_dict stage eff 0.32).
+        #   cf = total occurrences  = count of exploded (flattened) tokens
+        #   df = docs containing    = count of exploded array_distinct
+        # Multi-value: every inner value is indexed at its position, so
+        # flatten() reproduces _term_counts_batches' per-value counting.
+        flat_tok = (
+            F.flatten("tokens_mv") if "tokens_mv" in docs.columns
+            else F.col("tokens")
+        )
+        cf_df = (
+            docs.select(F.explode(flat_tok).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("cf"))
+        )
+        df_df = (
+            docs.select(F.explode(F.array_distinct(flat_tok)).alias("term"))
+            .groupBy("term").agg(F.count("*").alias("df"))
+        )
         # persist the (small) per-term stats so assign_dense_ids' range
-        # sampling pass doesn't recompute the full tfpos lineage
-        term_stats = tfpos.groupBy("term").agg(
-            F.count("*").alias("df"), F.sum("tf").alias("cf")
-        ).persist()
+        # sampling pass doesn't recompute the scans
+        term_stats = df_df.join(cf_df, "term").persist()
         term_dict, n_terms = assign_dense_ids(
             term_stats, ["term"], id_col="term_id",
             num_partitions=num_partitions, return_count=True,

@@ -311,7 +311,20 @@ def collation_key(col: str) -> F.Column:
     return F.expr(fold_sql(f"lower({col})"))
 
 
-def term_listing(term_dict: DataFrame, k: int = 100) -> DataFrame:
+def collation_key_sensitive(col: str) -> F.Column:
+    """BlackLab's SENSITIVE collation key: ICU TERTIARY strength
+    (Collators.java:20-40 — base letters, then diacritics, then case).
+    Built as one SQL expression from the shared tokenizer tables
+    (collation_sql_sensitive): primary/secondary/tertiary strings joined by
+    chr(1), raw term tiebreak. Evaluated by Catalyst during the scan — no
+    UDF, no stored column. UCA-approximation notes live on the generator."""
+    from blacklab_spark.tokenizer import collation_sql_sensitive
+
+    return F.expr(collation_sql_sensitive(col))
+
+
+def term_listing(term_dict: DataFrame, k: int = 100,
+                 sensitive: bool = False) -> DataFrame:
     """Collation-ordered term listing (the Terms.idToSortPosition /
     insensitive sort-position surface, /root/reference/engine/src/main/java/
     nl/inl/blacklab/forwardindex/Terms.java:46-77, TermsGlobal's ICU
@@ -319,10 +332,14 @@ def term_listing(term_dict: DataFrame, k: int = 100) -> DataFrame:
     the rank column makes the ORDER itself the checked value. Physical
     shape: orderBy+limit is TakeOrderedAndProject (bounded per-partition
     heaps, no global sort); the row_number window then runs over k rows
-    driver-side-bounded, so the plan scales with k, not vocabulary."""
+    driver-side-bounded, so the plan scales with k, not vocabulary.
+
+    sensitive=True lists under the SENSITIVE (tertiary-strength) collator
+    instead — the reference's TermsGlobal keeps BOTH sort positions per
+    term (Terms.java:46-77, idToSortPosition(sensitivity))."""
     from pyspark.sql import Window
 
-    key = collation_key("term")
+    key = collation_key_sensitive("term") if sensitive else collation_key("term")
     top = (
         term_dict.select(
             "term", key.alias("sort_key"), "df", "cf"

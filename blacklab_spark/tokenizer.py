@@ -206,6 +206,88 @@ def fold_sql(expr: str) -> str:
     return f"translate({expr}, '{ACCENT_FROM}', '{ACCENT_TO}')"
 
 
+# --- sensitive (tertiary-strength) collation ---------------------------------
+# The reference's SENSITIVE collator is ICU Collator at TERTIARY strength
+# (engine/src/main/java/nl/inl/blacklab/forwardindex/Collators.java:3-40):
+# base letters compare first (primary), then diacritics (secondary), then
+# case (tertiary). No ICU in this environment, so we reproduce the UCA
+# LEVEL STRUCTURE for Latin-script vocabularies with three aligned strings
+# compared lexicographically in sequence:
+#   primary   = fold(lower(term))           — the insensitive key
+#   secondary = lower(term) with each accented char replaced by a one-char
+#               ACCENT-CLASS symbol (Private-Use-Area chars, assigned in
+#               combining-mark codepoint order — DUCET's secondary weights
+#               for the Latin diacritics ascend with mark codepoint);
+#               unaccented chars stay themselves, so equal-primary terms
+#               diverge exactly at the first accent difference
+#   tertiary  = term with every UPPERCASE char replaced by one high PUA
+#               symbol — lowercase sorts before uppercase, per UCA
+# joined with chr(1) separators (sorts below any real char, so prefixes
+# rank first) and the raw term as the final deterministic tiebreak.
+# Documented approximations vs real ICU (COVERAGE.md): multi-mark
+# Vietnamese chars rank by their full mark tuple, not DUCET's per-mark
+# interleave; ß orders after 'ss' at the secondary instead of tertiary
+# level (same resulting order); non-Latin scripts fall back to codepoint
+# order. All three engines (Python str, Spark UTF8String, DuckDB varchar
+# binary collation) compare these strings identically: UTF-8 byte order
+# equals codepoint order.
+
+def _build_collation_tables() -> tuple[dict[int, str], dict[int, str]]:
+    marks: dict[int, tuple[str, ...]] = {}
+    for cp in _ACCENT_MAP:
+        ms = tuple(
+            c for c in unicodedata.normalize("NFD", chr(cp))
+            if unicodedata.category(c) == "Mn"
+        )
+        if ms:
+            marks[cp] = ms
+    classes = sorted(set(marks.values()))
+    # stroke letters (Ł/ł) decompose to nothing — a synthetic class after
+    # every real diacritic, like DUCET ranks the stroke variants last
+    sym = {cls: chr(0xE100 + i) for i, cls in enumerate(classes)}
+    stroke = chr(0xE100 + len(classes))
+    sec = {
+        cp: sym[marks[cp]] for cp in marks if not chr(cp).isupper()
+    }
+    for cp in (0x0142,):  # ł (lowercased input never shows Ł)
+        sec[cp] = stroke
+    upper = chr(0xE7FF)
+    ter = {
+        cp: upper
+        for cp in list(range(0x41, 0x5B)) + sorted(_ACCENT_MAP)
+        + [ord(c) for c in DIGRAPH_FOLDS]
+        if chr(cp).isupper()
+    }
+    return sec, ter
+
+
+_SEC_MAP, _TER_MAP = _build_collation_tables()
+SEC_FROM = "".join(chr(cp) for cp in sorted(_SEC_MAP))
+SEC_TO = "".join(_SEC_MAP[cp] for cp in sorted(_SEC_MAP))
+TER_FROM = "".join(chr(cp) for cp in sorted(_TER_MAP))
+TER_TO = "".join(_TER_MAP[cp] for cp in sorted(_TER_MAP))
+
+
+def collation_key_sensitive_py(term: str) -> str:
+    """Python twin of collation_sql_sensitive — identical bytes by
+    construction (shared maps, same chr(1) layout)."""
+    low = term.lower()
+    return "\x01".join(
+        (fold_accents(low), low.translate(_SEC_MAP), term.translate(_TER_MAP),
+         term)
+    )
+
+
+def collation_sql_sensitive(expr: str) -> str:
+    """The sensitive tertiary-strength collation key as one SQL expression,
+    valid in both Spark SQL and DuckDB (translate/replace/lower/concat/chr
+    only — no engine-specific regexp flags)."""
+    prim = fold_sql(f"lower({expr})")
+    sec = f"translate(lower({expr}), '{SEC_FROM}', '{SEC_TO}')"
+    ter = f"translate({expr}, '{TER_FROM}', '{TER_TO}')"
+    return f"concat({prim}, chr(1), {sec}, chr(1), {ter}, chr(1), {expr})"
+
+
 def tokenize_insensitive(text: str) -> list[str]:
     """The i level: case- AND diacritics-folded tokens —
     tokenize_insensitive('Café') == ['cafe']."""

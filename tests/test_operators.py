@@ -411,6 +411,48 @@ def test_collation_term_listing_order(spark):
     assert [r["term"] for r in ac] == ["taa", "tablé", "tz"]
 
 
+def test_sensitive_collation_tertiary_order(spark):
+    # r6 (VERDICT missing #1): SENSITIVE collation at ICU TERTIARY strength
+    # for Latin scripts — base letters first, then diacritics, then case
+    # (Collators.java:20-40). The ICU root-locale reference order for the
+    # classic probe set is pinned; all three engines (Python twin, Spark
+    # SQL, DuckDB) must produce it identically.
+    import duckdb
+
+    from blacklab_spark.operators.grouping import term_listing
+    from blacklab_spark.tokenizer import (
+        collation_key_sensitive_py,
+        collation_sql_sensitive,
+    )
+
+    words = ["cote", "coté", "côte", "côté", "cotes", "Cote", "APE", "Ape",
+             "ape", "ĳs", "ijs", "strasse", "straße", "łata", "lata"]
+    # ICU Collator.getInstance(ULocale.ROOT) TERTIARY order
+    icu = ["ape", "Ape", "APE", "cote", "Cote", "coté", "côte", "côté",
+           "cotes", "ijs", "ĳs", "lata", "łata", "strasse", "straße"]
+    assert sorted(words, key=collation_key_sensitive_py) == icu
+
+    td = spark.createDataFrame(
+        [(w, 1, 1) for w in words], "term string, df long, cf long"
+    )
+    rows = term_listing(td, k=20, sensitive=True).collect()
+    assert [r["term"] for r in rows] == icu
+    assert [r["rank"] for r in rows] == list(range(1, len(icu) + 1))
+    # the key bytes themselves agree across all three engines
+    spark_keys = {r["term"]: r["sort_key"] for r in rows}
+    duck = duckdb.connect()
+    sql_keys = dict(duck.execute(
+        "SELECT w, " + collation_sql_sensitive("w")
+        + " FROM (SELECT unnest(?::varchar[]) AS w)", [words]
+    ).fetchall())
+    for w in words:
+        assert spark_keys[w] == collation_key_sensitive_py(w) == sql_keys[w]
+    # secondary beats tertiary (UCA level order): case difference on an
+    # earlier letter loses to an accent difference on a later one
+    k = collation_key_sensitive_py
+    assert k("Cote") < k("coté") < k("Coté")
+
+
 def test_autocomplete_insensitive_prefix(spark):
     # r5: insensitive autocomplete matches the prefix under the collator
     # fold — accents and digraphs on either side don't block completion
