@@ -77,11 +77,26 @@ def main():
 
     spark = get_spark("scale-posture", cores=cores,
                       shuffle_partitions=cores)
-    probes = [bench._cpu_probe(), bench._membw_probe()]
-    rs = build_at(spark, n_small, cores)
-    probes.append((bench._cpu_probe(), bench._membw_probe()))
-    rb = build_at(spark, n_big, cores)
-    probes.append((bench._cpu_probe(), bench._membw_probe()))
+    build_at(spark, 240_000, cores)  # untimed warmup: JVM JIT + py workers
+    probes = [(bench._cpu_probe(), bench._membw_probe())]
+
+    def best(a, b):
+        if a is None:
+            return b
+        pick = a if a["wall_sec"] <= b["wall_sec"] else b
+        pick = dict(pick)
+        pick["stages"] = {
+            st: min(a["stages"].get(st, 1e9), b["stages"].get(st, 1e9))
+            for st in a["stages"]
+        }
+        return pick
+
+    rs = rb = None
+    for _ in range(int(os.environ.get("BENCH_REPEATS", "2"))):
+        rs = best(rs, build_at(spark, n_small, cores))
+        probes.append((bench._cpu_probe(), bench._membw_probe()))
+        rb = best(rb, build_at(spark, n_big, cores))
+        probes.append((bench._cpu_probe(), bench._membw_probe()))
     ratio = n_big / n_small
 
     def row(st):
@@ -94,7 +109,9 @@ def main():
     lines = [
         "# BENCH/SCALE_POSTURE_r6.md — build posture above sf1",
         "",
-        f"One local[{cores}] window, {n_small / 1e6:.1f}M then "
+        f"One local[{cores}] window; 240k warmup build then small/big "
+        f"interleaved, per-stage best-of (drift guard). "
+        f"{n_small / 1e6:.1f}M vs "
         f"{n_big / 1e6:.1f}M turns ({ratio:.0f}x data). Probes "
         f"(cpu Mops, membw GB/s) around each build: {probes}.",
         "",
