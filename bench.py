@@ -241,9 +241,14 @@ def main():
                 "times": wr, "cold_pair": cr, "clean": False,
                 "probes": [], "membw": None,
             })
-        queries = {n: min(r[n] for r in cold_rounds) for n, _ in qset}
         all_rounds = cold_rounds
         clean = [w for w in warm_rounds if w["clean"]] or warm_rounds
+        # apples-to-apples: BOTH best-ofs range over the same clean probe
+        # windows (plus pass 0, the true cold start, for the cold side) —
+        # r5's "warm slower than cold" artifact came from asymmetric
+        # populations (cold sampled degraded windows warm had skipped)
+        cold_clean = [cold_rounds[0]] + [w["cold_pair"] for w in clean]
+        queries = {n: min(r[n] for r in cold_clean) for n, _ in qset}
         queries_warm = {n: min(w["times"][n] for w in clean) for n, _ in qset}
         warm_gate = {
             "floor_mops": floor,
