@@ -225,13 +225,16 @@ def main():
                 wr = run_pass(wqset)
                 cr = run_pass(qset)
             p1 = _cpu_probe()
+            m1 = _membw_probe()  # exit probe: a DRAM window opening
+            # MID-round is the r5 failure mode — the entry probe alone
+            # would record it clean
             cold_rounds.append(cr)
             warm_rounds.append({
                 "times": wr,
                 "cold_pair": cr,
-                "clean": min(p0, p1) >= floor and m0 >= mfloor,
+                "clean": min(p0, p1) >= floor and min(m0, m1) >= mfloor,
                 "probes": [p0, p1],
-                "membw": m0,
+                "membw": [m0, m1],
             })
         if not warm_rounds:  # every attempt probed degraded: record one anyway
             cr = run_pass(qset)

@@ -382,6 +382,14 @@ def build_index(
         _mark_stage(paths, "docs", t0, docs_indexed=n_docs)
 
     docs = spark.read.parquet(paths.docs)
+    if store_offsets and "tok_starts" not in docs.columns:
+        # resume=True skipped a docs stage written WITHOUT offsets — the
+        # only stage that can produce them. Failing here beats a confusing
+        # kwic_text error at query time on an index "built with" the flag.
+        raise ValueError(
+            "store_offsets=True but the existing docs stage (resume=True) "
+            "was built without offsets — rebuild without resume"
+        )
 
     # ---------------- stage: stats -----------------------------------------
     if not _stage_done(paths, "stats", None) or not os.path.exists(paths.meta):
@@ -405,6 +413,10 @@ def build_index(
             "doc_key": list(doc_key),
             "tokenizer": TOKEN_PATTERN,
             "fold_version": FOLD_VERSION,
+            # derived from the WRITTEN docs schema (not the argument), so
+            # resumed/compacted/offset-bearing indexes self-describe and
+            # add_to_index can match the delta build to the base
+            "store_offsets": "tok_starts" in docs.columns,
         }
         with open(paths.meta, "w") as f:
             json.dump(meta, f, indent=2)

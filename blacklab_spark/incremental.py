@@ -129,6 +129,29 @@ def recover_pending(path: str) -> bool:
     (writer dead, or our own re-entry) are recovered.
     """
     marker = os.path.join(path, PENDING_MARKER)
+    # sweep tmp payloads orphaned by a writer killed between the fsync and
+    # the os.link (no lock was taken, so they are inert — but each crashed
+    # attempt would otherwise accumulate one forever). The embedded pid
+    # names the owner; only dead owners' files are removed.
+    import glob
+
+    for tmp in glob.glob(f"{marker}.*.tmp"):
+        try:
+            pid = int(os.path.basename(tmp).split(".")[-3])
+        except (ValueError, IndexError):
+            pid = None
+        if pid is not None and _pid_alive(pid):
+            # live owner (possibly ANOTHER THREAD of this process between
+            # its fsync and link) — not ours to touch
+            continue
+        if pid is None and (
+            time.time() - os.path.getmtime(tmp) < MARKER_GRACE_SEC
+        ):
+            continue
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
     if not os.path.exists(marker):
         return False
     with _LOCAL_LOCK:
@@ -272,6 +295,10 @@ def _append_locked(
         block_size=meta["block_size"],
         salt_df_threshold=meta["salt_df_threshold"],
         docs_per_salt=meta["docs_per_salt"],
+        # an offsets-bearing base index needs offsets in the delta too, or
+        # the merged docs dir would mix schemas and kwic_text would break
+        # on appended docs (raises here instead if the delta has no text)
+        store_offsets=bool(meta.get("store_offsets", False)),
     )
     s = IndexPaths(os.path.join(path, staging))
     with open(s.meta) as f:

@@ -199,8 +199,16 @@ def capture_relations_within(
     paths — distinct Hits in the reference) are PRESERVED: a per-hit
     surrogate key rides through the groupBy instead of deduplicating
     (ADVICE r5)."""
+    from pyspark.sql import Window
+
     cols = spans_df.columns
-    h = spans_df.withColumn("_hid", F.monotonically_increasing_id()).alias("h")
+    # deterministic duplicate-index surrogate: row_number within the group
+    # of IDENTICAL hit rows (1..k for k duplicates). Unlike
+    # monotonically_increasing_id, this is stable under task retry /
+    # speculative re-execution — the id depends only on the row values,
+    # not on physical partition layout
+    w_dup = Window.partitionBy(*cols).orderBy(F.lit(1))
+    h = spans_df.withColumn("_hid", F.row_number().over(w_dup)).alias("h")
     r = rels.filter(
         F.col("rel_type").rlike("^(?:" + rel_type + ")$")
     ).alias("r")

@@ -474,8 +474,12 @@ def capture_overlapping_spans(
     a per-hit surrogate key (ADVICE r5 — the reference keeps same-extent
     hits reached via different match paths as distinct Hits); the captured
     SPAN SET is still deduplicated (sorted-set semantics of the column)."""
+    from pyspark.sql import Window
+
     cols = hits_df.columns
-    h = hits_df.withColumn("_hid", F.monotonically_increasing_id()).alias("h")
+    # deterministic duplicate-index surrogate (see capture_relations_within)
+    w_dup = Window.partitionBy(*cols).orderBy(F.lit(1))
+    h = hits_df.withColumn("_hid", F.row_number().over(w_dup)).alias("h")
     o = others.select(*SPAN_COLS).dropDuplicates(SPAN_COLS).alias("o")
     span_str = F.when(
         F.col("o.doc_id").isNotNull(),  # null on join miss → dropped by agg

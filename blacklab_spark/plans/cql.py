@@ -889,14 +889,23 @@ class CqlCompiler:
                     "(build_alignments)"
                 )
             src = self.compile(node.node).select(*SPAN_COLS)
-            env = alignment_hits(self.alignments, src, node.version, ".*")
-            # one hit per source hit, re-spanned to the target-side envelope
-            # (duplicate target extents from distinct source hits are kept,
-            # like the reference's per-hit mapping)
-            return env.select(
-                "doc_id",
-                F.col("c_target_s").alias("start"),
-                F.col("c_target_e").alias("end"),
+            # alignment_hits groups by source extent (set semantics for the
+            # ==> operator), but rfield is a PER-HIT mapping: k duplicate
+            # same-extent inner hits must yield k output hits (the
+            # reference's SpanQueryOtherFieldHits maps each Hit). Count
+            # multiplicity before the envelope join, re-expand after.
+            srcu = src.groupBy(*SPAN_COLS).agg(F.count("*").alias("_dup"))
+            env = alignment_hits(self.alignments, srcu, node.version, ".*")
+            return (
+                env.join(srcu, list(SPAN_COLS))
+                .withColumn(
+                    "_i", F.explode(F.sequence(F.lit(1), F.col("_dup")))
+                )
+                .select(
+                    "doc_id",
+                    F.col("c_target_s").alias("start"),
+                    F.col("c_target_e").alias("end"),
+                )
             )
         if isinstance(node, RspanNode):
             from blacklab_spark.operators.relations import rspan_all

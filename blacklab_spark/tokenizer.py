@@ -95,13 +95,15 @@ def tokenize_series_with_offsets(
     Returns (tokens, starts, ends) series of equal-length lists."""
     def one(t):
         toks, ss, es = [], [], []
-        for m in TOKEN_RE.finditer(t or ""):
+        for m in TOKEN_RE.finditer(t):
             toks.append(m.group().lower())
             ss.append(m.start())
             es.append(m.end())
         return toks, ss, es
 
-    trip = texts.map(one)
+    # fillna like tokenize_series: pandas missing text may be float NaN
+    # (truthy!), which `t or ""` would pass through to finditer
+    trip = texts.fillna("").map(one)
     return (
         trip.map(lambda x: x[0]),
         trip.map(lambda x: x[1]),

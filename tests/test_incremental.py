@@ -2,6 +2,7 @@
 add maps to appending per-partition segments + a merge compaction)."""
 
 import json
+import os
 
 import pytest
 
@@ -139,3 +140,76 @@ def test_fold_version_gate(spark, tmp_root):
     json.dump(meta, open(f"{path}/_meta.json", "w"))
     with pytest.warns(UserWarning, match="fold_version"):
         Corpus(spark, path)
+
+
+def test_append_preserves_store_offsets(spark, tmp_root):
+    # r6 review fix: add_to_index must build the delta with the SAME
+    # store_offsets setting as the base index (stamped in meta), or the
+    # merged docs dir mixes schemas and kwic_text breaks on appended docs
+    import pandas as pd
+
+    from blacklab_spark.operators.grouping import kwic_text
+
+    base = pd.DataFrame(
+        [("a", 0, "the quick fox"), ("a", 1, "a lazy dog")],
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    delta = pd.DataFrame(
+        [("b", 0, "another FOX, appended!")],
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    path = f"{tmp_root}/append_offsets_idx"
+    build_index(spark, spark.createDataFrame(base), path, block_size=4,
+                store_offsets=True)
+    meta = json.load(open(f"{path}/_meta.json"))
+    assert meta["store_offsets"] is True
+    add_to_index(spark, spark.createDataFrame(delta), path)
+    c = Corpus(spark, path)
+    # every doc (old and appended) carries offsets
+    assert c.docs.filter("tok_starts IS NULL").count() == 0
+    out = {r["doc_id"]: r for r in
+           kwic_text(c.find_cql('"fox"'), c.docs, context=1).collect()}
+    assert out[2]["match"] == "FOX"          # the appended doc, raw case
+    assert out[2]["right"] == ", appended"   # raw punctuation preserved
+
+
+def test_resume_refuses_store_offsets_mismatch(spark, tmp_root):
+    # r6 review fix: resume=True over a docs stage built WITHOUT offsets
+    # must fail fast instead of yielding an index that claims offsets
+    import pandas as pd
+    import pytest as _pytest
+
+    pdf = pd.DataFrame(
+        [("a", 0, "plain text here")],
+        columns=["conv_id", "turn_idx", "text"],
+    )
+    path = f"{tmp_root}/resume_offsets_idx"
+    build_index(spark, spark.createDataFrame(pdf), path, block_size=4)
+    with _pytest.raises(ValueError, match="resume"):
+        build_index(spark, spark.createDataFrame(pdf), path, block_size=4,
+                    store_offsets=True, resume=True)
+
+
+def test_recover_sweeps_orphaned_tmp_payloads(spark, tmp_root):
+    # r6 review fix: a writer killed between the tmp fsync and os.link
+    # leaves an inert tmp payload; recover_pending sweeps dead-owner tmps
+    # and leaves live-owner ones alone
+    import pandas as pd
+
+    from blacklab_spark.incremental import recover_pending
+
+    pdf = pd.DataFrame(
+        [("a", 0, "some text")], columns=["conv_id", "turn_idx", "text"]
+    )
+    path = f"{tmp_root}/tmp_sweep_idx"
+    build_index(spark, spark.createDataFrame(pdf), path, block_size=4)
+    marker = os.path.join(path, "_pending_append.json")
+    dead = os.path.join(path, "_pending_append.json.999999.140.tmp")
+    live = os.path.join(path, f"_pending_append.json.{os.getpid()}.141.tmp")
+    for p in (dead, live):
+        with open(p, "w") as f:
+            f.write("{}")
+    recover_pending(path)
+    assert not os.path.exists(dead)   # dead pid: swept
+    assert os.path.exists(live)       # live (our) pid: untouched
+    os.unlink(live)

@@ -549,3 +549,21 @@ def test_kwic_text_raw_fidelity(spark, tmp_root):
     c2 = Corpus(spark, path2)
     with _pytest.raises(ValueError, match="store_offsets"):
         kwic_text(c2.find_cql('"fox"'), c2.docs, 2)
+
+
+def test_tokenize_offsets_handles_nan():
+    # r6 review fix: pandas missing text arrives as float NaN (truthy!) —
+    # the offsets variant must fillna like tokenize_series does
+    import numpy as np
+    import pandas as pd
+
+    from blacklab_spark.tokenizer import (
+        tokenize_series,
+        tokenize_series_with_offsets,
+    )
+
+    s = pd.Series(["a fox", np.nan, None, "dog"])
+    toks, starts, ends = tokenize_series_with_offsets(s)
+    assert list(toks) == list(tokenize_series(s))
+    assert list(toks[1]) == [] and list(starts[1]) == []
+    assert list(starts[0]) == [0, 2] and list(ends[0]) == [1, 5]

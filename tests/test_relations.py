@@ -455,6 +455,9 @@ def test_rfield_projects_hits_into_other_version(pcorp):
     assert {(r["doc_id"], r["start"], r["end"]) for r in out} == {
         (0, 1, 2), (1, 1, 2), (2, 3, 4)
     }
+    # per-hit mapping: exactly one output row per inner hit (the r6
+    # multiplicity re-expansion must not duplicate the 1:1 case)
+    assert len(out) == 3
     assert set(out[0].asDict()) == {"doc_id", "start", "end"}
     # multi-token query → target envelope of the covered alignments
     env = pcorp.find_cql('rfield("als" [] "en", "de")').collect()
