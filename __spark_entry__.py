@@ -1197,7 +1197,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
                     F.lit(tag).alias("variant"), "doc_id", "start", "end"
                 )
             )
-        return out
+        # r6: the last two pytest-only §2 operators get oracle-checked parts.
+        # ngrams: SpanQueryFilterNGrams — all 2-grams CONTAINING a 'table'
+        # hit (n-gram generator composed with the position filter)
+        ng = _to_orig(
+            c, S.filter_ngrams(c.spans_term("table"), c.docs, 2, 2,
+                               mode="containing"),
+            "start", "end",
+        ).select(F.lit("ngrams").alias("variant"), "doc_id", "start", "end")
+        # hfilter: Hits.filter(HitProperty) — keep 'table' hits whose
+        # FOLLOWING word (forward-index context, HitPropertyAfterHit) is
+        # 'scan'; the plain DataFrame filter IS the reference's
+        # HitsFiltered evaluation
+        hf = _to_orig(
+            c,
+            c.spans_term("table")
+            .join(c.docs.select("doc_id", "tokens"), "doc_id")
+            .filter(F.try_element_at("tokens", F.col("start") + 2) == "scan")
+            .select("doc_id", "start", "end"),
+            "start", "end",
+        ).select(F.lit("hfilter").alias("variant"), "doc_id", "start", "end")
+        return out.unionByName(ng).unionByName(hf)
 
     def annot_chain(spark, sf_dir):
         # r5 (VERDICT #7): CROSS-LAYER sequence chains through the
@@ -2057,6 +2077,20 @@ UNION ALL
 -- _lenfilter(("table" []{0,1}), '2', '2'): only the width-2 variants
 SELECT 'xf_lenfilter', doc_id, i - 1, i + 1
 FROM pos WHERE tok = 'table' AND i + 1 <= len(toks)
+UNION ALL
+-- ngrams: every 2-gram [s, s+2) containing a 'table' token position
+-- (SpanQueryFilterNGrams = n-gram generator + containing filter)
+SELECT 'ngrams', g.doc_id, g.s, g.s + 2
+FROM (
+  SELECT doc_id, unnest(range(0, len(toks) - 1)) AS s FROM t
+  WHERE len(toks) >= 2
+) g
+WHERE EXISTS (SELECT 1 FROM pos p WHERE p.doc_id = g.doc_id
+              AND p.tok = 'table' AND g.s <= p.i - 1 AND p.i <= g.s + 2)
+UNION ALL
+-- hfilter: Hits.filter by the FOLLOWING word == 'scan'
+SELECT 'hfilter', doc_id, i - 1, i
+FROM pos WHERE tok = 'table' AND i + 1 <= len(toks) AND toks[i + 1] = 'scan'
 """,
         "annot_chain": f"""
 WITH {_POS_CTES}
