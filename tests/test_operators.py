@@ -567,3 +567,35 @@ def test_tokenize_offsets_handles_nan():
     assert list(toks) == list(tokenize_series(s))
     assert list(toks[1]) == [] and list(starts[1]) == []
     assert list(starts[0]) == [0, 2] and list(ends[0]) == [1, 5]
+
+
+def test_sensitive_collation_py_duckdb_property():
+    # property fuzz: the Python twin and the DuckDB-evaluated SQL expression
+    # must produce identical key BYTES for arbitrary strings drawn from the
+    # alphabets the collation handles (ASCII, Latin-1/Ext-A accents,
+    # digraphs, digits) — the contract behind the term_sort 's' oracle
+    import duckdb
+    from hypothesis import given, settings, strategies as st
+
+    from blacklab_spark.tokenizer import (
+        collation_key_sensitive_py,
+        collation_sql_sensitive,
+    )
+
+    alphabet = (
+        "abcxyzABCXYZ019"
+        "àáâäåçèéêëìïñòöùüýÀÉÊÖÜ"
+        "āăąćčďēęğīłńňőřśšťūżžŁ"
+        "ĳĲæÆœŒßẞ"
+    )
+    duck = duckdb.connect()
+    expr = collation_sql_sensitive("w")
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.text(alphabet=alphabet, max_size=12))
+    def prop(w):
+        got = duck.execute(f"SELECT {expr} FROM (SELECT ?::varchar AS w)",
+                           [w]).fetchone()[0]
+        assert got == collation_key_sensitive_py(w), repr(w)
+
+    prop()
