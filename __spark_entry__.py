@@ -352,6 +352,58 @@ def _chat_corpus(spark: SparkSession, sf_dir: str) -> Corpus:
     return Corpus(spark, idx)
 
 
+def _tei_corpus(spark: SparkSession, sf_dir: str):
+    """TEI-style XML ingest end-to-end (DocIndexerXPath analog + inline-tag
+    spans): render the first 12 non-empty documents as ONE deterministic TEI
+    file — one <u> per document, tokens as <w> elements grouped into <s>
+    sentences of 4 tokens — read it back with read_tei_annotated, build the
+    word layer + the tags table (build_tags), so `<s/>` / `<s> q </s>` tag
+    queries (SpanQueryTags) run against stored sentence extents the oracle
+    re-derives from the same 4-token chunk rule."""
+    from blacklab_spark.annotated import (
+        AnnotatedCorpus,
+        build_annotated_index,
+        build_tags,
+    )
+    from blacklab_spark.sources.readers import read_tei_annotated
+
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_tei_v1"
+    root = os.path.join(CACHE_ROOT, name)
+    fpath = os.path.join(root, "input.xml")
+    if not os.path.exists(fpath):
+        os.makedirs(root, exist_ok=True)
+        rows = (
+            _tokenized_docs(spark, sf_dir)
+            .filter(F.size("tokens") > 0)
+            .orderBy("doc_id").limit(12)
+            .select("tokens").collect()
+        )
+        parts = ["<TEI><text><body>"]
+        for r in rows:
+            toks = list(r["tokens"])
+            parts.append('<u who="A">')
+            for s in range(0, len(toks), 4):
+                parts.append(
+                    "<s>"
+                    + "".join(f"<w>{t}</w>" for t in toks[s:s + 4])
+                    + "</s>"
+                )
+            parts.append("</u>")
+        parts.append("</body></text></TEI>")
+        tmp = fpath + ".tmp"
+        with open(tmp, "w") as f:
+            f.write("\n".join(parts) + "\n")
+        os.rename(tmp, fpath)
+    idx = os.path.join(root, "idx")
+    frame = read_tei_annotated(spark, fpath)
+    build_annotated_index(
+        spark, frame, idx, {"word": "word"}, resume=True,
+    )
+    if not os.path.exists(os.path.join(idx, "tags")):
+        build_tags(spark, frame, idx)
+    return AnnotatedCorpus(spark, idx)
+
+
 def _tokenized_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents with a tokens column (for operators that don't need the
     full index) — same tokenizer as the engine, applied JVM-side."""
@@ -691,8 +743,36 @@ contrib AS (
          / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / s.avgdl)) AS c
   FROM tf JOIN df USING (term) JOIN dl USING (rid) CROSS JOIN stats s
 )
-SELECT rid AS doc_id, round(sum(c), 4) AS score FROM contrib GROUP BY rid
-ORDER BY score DESC, doc_id ASC LIMIT {K}
+SELECT 'chat' AS part, rid AS doc_id, round(sum(c), 4) AS v1, -1.0 AS v2
+FROM contrib GROUP BY rid
+ORDER BY v1 DESC, doc_id ASC LIMIT {K}
+"""
+
+
+def _tei_sql() -> str:
+    """The TEI tag-query parts re-derived from first principles: the fixture
+    groups each of the first 12 non-empty docs' tokens into 4-token <s>
+    chunks, so sentence s of doc rid spans [s, min(s+4, dl)) and a bigram
+    at start p stays within a sentence iff p div 4 == (p+1) div 4."""
+    return f"""
+WITH src AS (
+  SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rid,
+         regexp_extract_all(lower(text), '{_SQL_TOK}') AS toks
+  FROM (
+    SELECT doc_id, text FROM documents
+    WHERE len(regexp_extract_all(lower(text), '{_SQL_TOK}')) > 0
+    ORDER BY doc_id LIMIT 12
+  )
+),
+d AS (SELECT rid, len(toks) AS dl, toks FROM src)
+SELECT 'tei_sent' AS part, rid AS doc_id,
+       s::DOUBLE AS v1, least(s + 4, dl)::DOUBLE AS v2
+FROM (SELECT rid, dl, unnest(range(0, dl, 4)) AS s FROM d)
+UNION ALL
+SELECT 'tei_big', rid, (i - 1)::DOUBLE, (i + 1)::DOUBLE
+FROM (SELECT rid, unnest(toks) AS tok,
+             generate_subscripts(toks, 1) AS i, dl FROM d)
+WHERE tok = 'join' AND i + 1 <= dl AND (i - 1) // 4 = i // 4
 """
 
 
@@ -1477,13 +1557,32 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         )
 
     def chat_ingest(spark, sf_dir):
-        # CHAT transcript ingest end-to-end (DocIndexerChat): render → parse
-        # (@ headers / % tiers skipped, *SPK utterances kept in order) →
-        # build → BM25 top-10 over the chat corpus; doc_id = utterance rank
+        # ingest end-to-end, two formats (r6 union):
+        #   chat: CHAT (.cha) render → parse (@ headers / % tiers skipped,
+        #     *SPK utterances in order) → build → BM25 top-10; doc_id =
+        #     utterance rank (DocIndexerChat)
+        #   tei_sent / tei_big: TEI-style XML render → read_tei_annotated →
+        #     build_tags → TAG QUERIES (SpanQueryTags): the stored <s/>
+        #     sentence extents, and `<s> "join" [] </s>` bigrams that must
+        #     not cross a sentence boundary (tag-enclosed pattern = within)
         c = _chat_corpus(spark, sf_dir)
-        return c.search_or(OR_TERMS, k=K).select(
-            "doc_id", F.round("score", 4).alias("score")
+        chat = c.search_or(OR_TERMS, k=K).select(
+            F.lit("chat").alias("part"), "doc_id",
+            F.round("score", 4).alias("v1"),
+            F.lit(-1.0).alias("v2"),
         )
+        ac = _tei_corpus(spark, sf_dir)
+        sent = ac.find_cql("<s/>").select(
+            F.lit("tei_sent").alias("part"), "doc_id",
+            F.col("start").cast("double").alias("v1"),
+            F.col("end").cast("double").alias("v2"),
+        )
+        big = ac.find_cql('<s> "join" [] </s>').select(
+            F.lit("tei_big").alias("part"), "doc_id",
+            F.col("start").cast("double").alias("v1"),
+            F.col("end").cast("double").alias("v2"),
+        )
+        return chat.unionByName(sent).unionByName(big)
 
     def cosine_near_pairs(spark, sf_dir):
         # the SCALE path for embedding near-dup: banded sign-LSH candidates
@@ -1748,7 +1847,10 @@ FROM documents d LEFT JOIN f ON f.id = d.doc_id
 
     return {
         "rel_nsubj": _rel_nsubj_sql(),
-        "chat_ingest": _chat_ingest_sql(),
+        "chat_ingest": (
+            "SELECT * FROM (" + _chat_ingest_sql() + ")\n"
+            "UNION ALL SELECT * FROM (" + _tei_sql() + ")"
+        ),
         "ann_lsh_checked": _ann_lsh_sql(),
         "ann_ivf_checked": _ann_ivf_sql(),
         "parallel_align": f"""

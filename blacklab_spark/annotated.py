@@ -156,6 +156,34 @@ def build_relations(
     return root
 
 
+def build_tags(
+    spark: SparkSession,
+    frame: DataFrame,
+    root: str,
+    tags_col: str = "tags",
+    doc_key: tuple[str, str] = ("conv_id", "turn_idx"),
+) -> str:
+    """Store inline-tag spans (sentence/paragraph/named-entity boundaries
+    captured at ingest, e.g. read_tei_annotated's `tags` column of
+    (tag, start, end) structs) as a tags table under the annotated root,
+    docIDs aligned via the word layer's doc_map — the Spark-first analog of
+    the reference indexing start/end tags into the _relation annotation
+    (SpanQueryTags.java; integrated.md tag storage). Enables `<s/>` and
+    `<s> q </s>` BCQL tag queries."""
+    word = Corpus(spark, os.path.join(root, "word"))
+    dm = word.doc_map()
+    f = frame.select(*doc_key, F.explode(tags_col).alias("t")).join(
+        dm, list(doc_key)
+    )
+    f.select(
+        "doc_id",
+        F.col("t.tag").alias("tag"),
+        F.col("t.start").cast("int").alias("start"),
+        F.col("t.end").cast("int").alias("end"),
+    ).write.mode("overwrite").parquet(os.path.join(root, "tags"))
+    return root
+
+
 def _read_layers(root: str) -> tuple[list[str], list[str]]:
     """(layer names, folded layer names) — tolerates the pre-r4 bare-list
     file format."""
@@ -203,6 +231,11 @@ class AnnotatedCorpus:
     @property
     def alignments(self) -> DataFrame | None:
         p = os.path.join(self.root, "alignments")
+        return self.spark.read.parquet(p) if os.path.exists(p) else None
+
+    @property
+    def tags(self) -> DataFrame | None:
+        p = os.path.join(self.root, "tags")
         return self.spark.read.parquet(p) if os.path.exists(p) else None
 
     def align_find(
@@ -265,6 +298,7 @@ class AnnotatedCorpus:
             compiler = CqlCompiler(
                 self.word, layers=self.layers, relations=self.relations,
                 folded=self.folded, alignments=self.alignments,
+                tags=self.tags,
             )
             return compiler.compile(rewrite(parse_cql(query)))
 

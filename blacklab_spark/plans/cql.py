@@ -200,6 +200,15 @@ class XFuncNode:          # query extension function (XFDebug/XFSpans family)
 
 
 @dataclass(frozen=True)
+class TagNode:            # <s/> — spans of an inline tag from the stored
+    name: str             # tags table (TextPatternTags / SpanQueryTags,
+    # /root/reference/engine/src/main/java/nl/inl/blacklab/search/lucene/
+    # SpanQueryTags.java; cql.jj tag grammar). `<s> q </s>` parses to
+    # PosFilterNode(q, TagNode('s'), 'within') like the reference rewrites
+    # tag-enclosed patterns to a within filter.
+
+
+@dataclass(frozen=True)
 class Constraint:         # lhs/rhs: ("cap", label) or ("lit", value)
     lhs: tuple
     rhs: tuple
@@ -222,6 +231,9 @@ _TOKEN_RE = re.compile(
     | (?P<la>\(\?=) | (?P<lan>\(\?!)
     | (?P<rel>\^?-[A-Za-z0-9_.|*?+]*->)
     | (?P<arel>=[A-Za-z0-9_.|*?+:]*=>[A-Za-z0-9_]*)
+    | (?P<tagself><[A-Za-z_][A-Za-z0-9_]*/>)
+    | (?P<tagclose></[A-Za-z_][A-Za-z0-9_]*>)
+    | (?P<tagopen><[A-Za-z_][A-Za-z0-9_]*>)
     | (?P<lbrack>\[) | (?P<rbrack>\]) | (?P<lpar>\() | (?P<rpar>\))
     | (?P<quant>\{\s*\d+\s*(?:,\s*\d*)?\s*\})
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
@@ -376,7 +388,7 @@ class _Parser:
         while True:
             k = self.peek()
             if k and k[0] in ("lbrack", "lpar", "str", "ident", "la", "lan",
-                              "withspans"):
+                              "withspans", "tagself", "tagopen"):
                 units.append(self.unit_or_lookahead())
             else:
                 break
@@ -443,6 +455,21 @@ class _Parser:
     #       | rspan '(' relquery ',' MODE ')'
     #       | _posfilter '(' relquery ',' relquery ',' OP [',' INVERT] ')'
     def atom(self):
+        if self.peek("tagself"):
+            # <s/> — spans of the inline tag (SpanQueryTags)
+            name = self.eat("tagself")[1:-2]
+            return TagNode(name)
+        if self.peek("tagopen"):
+            # <s> q </s> — q within the tag (cql.jj tag grammar; the
+            # reference rewrites the enclosed pattern to a within filter)
+            name = self.eat("tagopen")[1:-1]
+            inner = self.filtered()
+            close = self.eat("tagclose")[2:-1]
+            if close != name:
+                raise ValueError(
+                    f"mismatched tag: <{name}> closed by </{close}>"
+                )
+            return PosFilterNode(inner, TagNode(name), "within", False)
         if self.peek("ident") and self.peek("ident")[1] == "_posfilter":
             # _posfilter(producer, filter, operation, inverted) — the full
             # SpanQueryPositionFilter.Operation set, spelled like the
@@ -698,12 +725,14 @@ class CqlCompiler:
     def __init__(self, corpus, max_expand: int = 1024, layers: dict | None = None,
                  relations: DataFrame | None = None,
                  folded: set[str] | None = None,
-                 alignments: DataFrame | None = None):
+                 alignments: DataFrame | None = None,
+                 tags: DataFrame | None = None):
         self.c = corpus
         self.max_expand = max_expand
         self.layers = layers or {"word": corpus}
         self.relations = relations  # (doc_id, rel_type, src_*, tgt_*) table
         self.alignments = alignments  # cross-field rows (+ tgt_field col)
+        self.tags = tags  # inline-tag spans (doc_id, tag, start, end)
         # layers whose tokens are accent-FOLDED (i/di sensitivity levels):
         # patterns against them are folded too, like the reference
         # desensitizes the search string per target field
@@ -843,6 +872,20 @@ class CqlCompiler:
             return S.position_filter(prod, filt, node.op, invert=node.invert)
         if isinstance(node, ConstrainedNode):
             return self._apply_constraints(self.compile(node.q), node.conditions)
+        if isinstance(node, TagNode):
+            # <s/> — spans of the stored inline tag (SpanQueryTags): a
+            # partition-local filter + projection over the tags table;
+            # composes with within/containing like any span producer
+            if self.tags is None:
+                raise ValueError(
+                    f"tag query <{node.name}/> on a corpus without a tags "
+                    "table (build_tags)"
+                )
+            return self.tags.filter(F.col("tag") == node.name).select(
+                "doc_id",
+                F.col("start").cast("int").alias("start"),
+                F.col("end").cast("int").alias("end"),
+            )
         if isinstance(node, RelNode):
             if self.relations is None:
                 raise ValueError(

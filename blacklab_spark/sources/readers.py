@@ -250,3 +250,88 @@ def read_conllu_annotated(spark: SparkSession, path: str) -> DataFrame:
                 yield pd.concat(out, ignore_index=True)
 
     return files.mapInPandas(gen, schema=_ANNOT_SCHEMA)
+
+
+_TEI_SCHEMA = (
+    "conv_id string, turn_idx int, role string, text string, tool string, "
+    "ts timestamp, word array<string>, lemma array<string>, pos array<string>, "
+    "tags array<struct<tag:string,start:int,end:int>>"
+)
+
+
+def _local_name(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def _parse_tei(content: str):
+    """TEI-ish XML → per-utterance rows: one document per <u> (turn), with
+    token-aligned word/lemma/pos arrays from inline <w lemma=".." pos="..">
+    elements and a tag-span list covering the nested non-token elements
+    (<s>, <seg>, <name> …) in TOKEN positions — the structure
+    DocIndexerXPath captures from annotated TEI (/root/reference/engine/
+    src/main/java/nl/inl/blacklab/indexers/config/DocIndexerXPath.java;
+    inline tags → SpanQueryTags spans). Namespaces are ignored (local
+    names); <w> text is the form, lowercased for the word layer like the
+    engine tokenizer, raw text reconstructed space-joined."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.fromstring(content)
+    utts = []
+    for u in root.iter():
+        if _local_name(u.tag) != "u":
+            continue
+        words, lemmas, poss, tags = [], [], [], []
+
+        def walk(el):
+            start = len(words)
+            for child in el:
+                name = _local_name(child.tag)
+                if name == "w":
+                    form = (child.text or "").strip()
+                    if form:
+                        words.append(form.lower())
+                        lemmas.append((child.get("lemma") or form).lower())
+                        poss.append((child.get("pos") or "").lower())
+                else:
+                    walk(child)
+            if _local_name(el.tag) != "u":  # the utterance IS the doc
+                tags.append((_local_name(el.tag), start, len(words)))
+
+        walk(u)
+        if words:
+            utts.append((u.get("who") or "", words, lemmas, poss, tags))
+    return utts
+
+
+def read_tei_annotated(spark: SparkSession, path: str) -> DataFrame:
+    """TEI-style XML (≈ DocIndexerXPath for the common annotated-TEI shape):
+    one document per <u> utterance; word/lemma/pos layers from <w> attrs;
+    nested element extents (e.g. <s> sentences) as a `tags` column of
+    (tag, start, end) structs in token space — feed to
+    build_annotated_index + build_tags for `<s/>` tag queries. Whole-file
+    parallel parse like the other readers."""
+    files = _whole_files(spark, path)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for row in pdf.itertuples():
+                conv = os.path.basename(row.path)
+                utts = _parse_tei(row.content)
+                if utts:
+                    out.append(pd.DataFrame({
+                        "conv_id": [conv] * len(utts),
+                        "turn_idx": pd.array(range(len(utts)), dtype="int32"),
+                        "role": [u[0] for u in utts],
+                        "text": [" ".join(u[1]) for u in utts],
+                        "tool": [""] * len(utts),
+                        "ts": [EPOCH] * len(utts),
+                        "word": [u[1] for u in utts],
+                        "lemma": [u[2] for u in utts],
+                        "pos": [u[3] for u in utts],
+                        "tags": [u[4] for u in utts],
+                    }))
+            if out:
+                yield pd.concat(out, ignore_index=True)
+
+    return files.mapInPandas(gen, schema=_TEI_SCHEMA)

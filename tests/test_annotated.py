@@ -153,3 +153,82 @@ def test_cross_layer_chain_kernel_matches_join(acorp, monkeypatch):
     assert kernel['[pos="det"] [lemma="dog"]'] == [(0, 0, 2), (1, 0, 2)]
     # non-empty guards: the parity must not be vacuous
     assert all(kernel[q] for q in queries[:3]), kernel
+
+
+TEI = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader/><text><body>
+<u who="A">
+  <s><w lemma="de" pos="det">De</w><w lemma="kat" pos="noun">kat</w>
+     <w lemma="slapen" pos="verb">slaapt</w></s>
+  <s><w lemma="de" pos="det">de</w><w lemma="hond" pos="noun">hond</w>
+     <w lemma="niet" pos="adv">niet</w></s>
+</u>
+<u who="B">
+  <s><w lemma="kat" pos="noun">Kat</w><w lemma="en" pos="cnj">en</w>
+     <w lemma="hond" pos="noun">hond</w></s>
+</u>
+</body></text></TEI>"""
+
+
+@pytest.fixture(scope="module")
+def teicorp(spark, tmp_root, tmp_path_factory):
+    from blacklab_spark.annotated import build_tags
+    from blacklab_spark.sources.readers import read_tei_annotated
+
+    d = tmp_path_factory.mktemp("tei")
+    (d / "doc.xml").write_text(TEI)
+    frame = read_tei_annotated(spark, str(d / "doc.xml")).persist()
+    root = f"{tmp_root}/tei_idx"
+    build_annotated_index(
+        spark, frame, root,
+        {"word": "word", "lemma": "lemma", "pos": "pos"},
+        block_size=4,
+    )
+    build_tags(spark, frame, root)
+    return AnnotatedCorpus(spark, root), frame
+
+
+def test_tei_reader_shape(teicorp):
+    # one doc per <u>, token-aligned layers, sentence tags in token space
+    _, frame = teicorp
+    rows = {(r["conv_id"], r["turn_idx"]): r for r in frame.collect()}
+    a = rows[("doc.xml", 0)]
+    assert a["role"] == "A"
+    assert list(a["word"]) == ["de", "kat", "slaapt", "de", "hond", "niet"]
+    assert list(a["lemma"])[1] == "kat" and list(a["pos"])[1] == "noun"
+    assert [(t["tag"], t["start"], t["end"]) for t in a["tags"]] == [
+        ("s", 0, 3), ("s", 3, 6)
+    ]
+    b = rows[("doc.xml", 1)]
+    assert b["role"] == "B" and list(b["word"]) == ["kat", "en", "hond"]
+
+
+def test_tag_queries(teicorp):
+    # <s/> produces the stored sentence spans (SpanQueryTags)
+    ac, _ = teicorp
+    assert spans(ac.find_cql("<s/>")) == [
+        (0, 0, 3), (0, 3, 6), (1, 0, 3)
+    ]
+    # hits within a sentence: the 'de hond' bigram crosses no sentence
+    # boundary in doc 0 sentence 2; 'slaapt de' CROSSES the boundary and
+    # must be filtered out by within
+    allb = spans(ac.find_cql('"de" "hond"'))
+    assert (0, 3, 5) in allb
+    within = spans(ac.find_cql('"de" "hond" within <s/>'))
+    assert within == [(0, 3, 5)]
+    crossing = spans(ac.find_cql('"slaapt" "de" within <s/>'))
+    assert crossing == []          # crosses the s boundary
+    assert spans(ac.find_cql('"slaapt" "de"')) == [(0, 2, 4)]
+    # <s> q </s> sugar == q within <s/> (tag-enclosed pattern)
+    assert spans(ac.find_cql('<s> "de" "hond" </s>')) == within
+    # tag + annotation layers compose
+    assert spans(ac.find_cql('<s> [pos="noun"] [pos="adv"] </s>')) == [
+        (0, 4, 6)
+    ]
+    # mismatched close tag is a parse error
+    with pytest.raises(ValueError, match="mismatched"):
+        ac.find_cql('<s> "de" </u>')
+
+
+def test_tag_query_without_tags_table(acorp):
+    with pytest.raises(ValueError, match="tags table"):
+        acorp.find_cql("<s/>").collect()
