@@ -367,7 +367,7 @@ def _tei_corpus(spark: SparkSession, sf_dir: str):
     )
     from blacklab_spark.sources.readers import read_tei_annotated
 
-    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_tei_v1"
+    name = (os.path.basename(os.path.normpath(sf_dir)) or "sf") + "_tei_v2"
     root = os.path.join(CACHE_ROOT, name)
     fpath = os.path.join(root, "input.xml")
     if not os.path.exists(fpath):
@@ -383,8 +383,9 @@ def _tei_corpus(spark: SparkSession, sf_dir: str):
             toks = list(r["tokens"])
             parts.append('<u who="A">')
             for s in range(0, len(toks), 4):
+                n = "e" if (s // 4) % 2 == 0 else "o"
                 parts.append(
-                    "<s>"
+                    f'<s n="{n}">'
                     + "".join(f"<w>{t}</w>" for t in toks[s:s + 4])
                     + "</s>"
                 )
@@ -752,8 +753,9 @@ ORDER BY v1 DESC, doc_id ASC LIMIT {K}
 def _tei_sql() -> str:
     """The TEI tag-query parts re-derived from first principles: the fixture
     groups each of the first 12 non-empty docs' tokens into 4-token <s>
-    chunks, so sentence s of doc rid spans [s, min(s+4, dl)) and a bigram
-    at start p stays within a sentence iff p div 4 == (p+1) div 4."""
+    chunks (alternating n="e"/"o"), so sentence s of doc rid spans
+    [s, min(s+4, dl)), a bigram at start p stays within a sentence iff
+    p div 4 == (p+1) div 4, and <s n="e"/> keeps even chunks."""
     return f"""
 WITH src AS (
   SELECT row_number() OVER (ORDER BY doc_id) - 1 AS rid,
@@ -773,6 +775,10 @@ SELECT 'tei_big', rid, (i - 1)::DOUBLE, (i + 1)::DOUBLE
 FROM (SELECT rid, unnest(toks) AS tok,
              generate_subscripts(toks, 1) AS i, dl FROM d)
 WHERE tok = 'join' AND i + 1 <= dl AND (i - 1) // 4 = i // 4
+UNION ALL
+SELECT 'tei_attr', rid, s::DOUBLE, least(s + 4, dl)::DOUBLE
+FROM (SELECT rid, dl, unnest(range(0, dl, 4)) AS s FROM d)
+WHERE (s // 4) % 2 = 0
 """
 
 
@@ -1582,7 +1588,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             F.col("start").cast("double").alias("v1"),
             F.col("end").cast("double").alias("v2"),
         )
-        return chat.unionByName(sent).unionByName(big)
+        attr = ac.find_cql('<s n="e"/>').select(
+            F.lit("tei_attr").alias("part"), "doc_id",
+            F.col("start").cast("double").alias("v1"),
+            F.col("end").cast("double").alias("v2"),
+        )
+        return chat.unionByName(sent).unionByName(big).unionByName(attr)
 
     def cosine_near_pairs(spark, sf_dir):
         # the SCALE path for embedding near-dup: banded sign-LSH candidates

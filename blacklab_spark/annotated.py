@@ -175,11 +175,19 @@ def build_tags(
     f = frame.select(*doc_key, F.explode(tags_col).alias("t")).join(
         dm, list(doc_key)
     )
+    has_attrs = "attrs" in [
+        x.name for x in frame.schema[tags_col].dataType.elementType.fields
+    ]
+    attrs = (
+        F.col("t.attrs") if has_attrs
+        else F.create_map().cast("map<string,string>")
+    )
     f.select(
         "doc_id",
         F.col("t.tag").alias("tag"),
         F.col("t.start").cast("int").alias("start"),
         F.col("t.end").cast("int").alias("end"),
+        attrs.alias("attrs"),
     ).write.mode("overwrite").parquet(os.path.join(root, "tags"))
     return root
 

@@ -202,8 +202,11 @@ class XFuncNode:          # query extension function (XFDebug/XFSpans family)
 @dataclass(frozen=True)
 class TagNode:            # <s/> — spans of an inline tag from the stored
     name: str             # tags table (TextPatternTags / SpanQueryTags,
+    attrs: tuple = ()     # ((attr, value-regex), …) filters, like the
+    # reference's tag-attribute grammar (cql.jj; values are anchored
+    # regexes over the stored attribute map).
     # /root/reference/engine/src/main/java/nl/inl/blacklab/search/lucene/
-    # SpanQueryTags.java; cql.jj tag grammar). `<s> q </s>` parses to
+    # SpanQueryTags.java. `<s> q </s>` parses to
     # PosFilterNode(q, TagNode('s'), 'within') like the reference rewrites
     # tag-enclosed patterns to a within filter.
 
@@ -231,9 +234,9 @@ _TOKEN_RE = re.compile(
     | (?P<la>\(\?=) | (?P<lan>\(\?!)
     | (?P<rel>\^?-[A-Za-z0-9_.|*?+]*->)
     | (?P<arel>=[A-Za-z0-9_.|*?+:]*=>[A-Za-z0-9_]*)
-    | (?P<tagself><[A-Za-z_][A-Za-z0-9_]*/>)
-    | (?P<tagclose></[A-Za-z_][A-Za-z0-9_]*>)
-    | (?P<tagopen><[A-Za-z_][A-Za-z0-9_]*>)
+    | (?P<tagself><[A-Za-z_][A-Za-z0-9_]*(?:\s+[A-Za-z_][A-Za-z0-9_]*\s*=\s*"[^"]*")*\s*/>)
+    | (?P<tagclose></[A-Za-z_][A-Za-z0-9_]*\s*>)
+    | (?P<tagopen><[A-Za-z_][A-Za-z0-9_]*(?:\s+[A-Za-z_][A-Za-z0-9_]*\s*=\s*"[^"]*")*\s*>)
     | (?P<lbrack>\[) | (?P<rbrack>\]) | (?P<lpar>\() | (?P<rpar>\))
     | (?P<quant>\{\s*\d+\s*(?:,\s*\d*)?\s*\})
     | (?P<star>\*) | (?P<plus>\+) | (?P<opt>\?)
@@ -440,6 +443,14 @@ class _Parser:
             raise ValueError(f"bad quantifier {{{m},{n}}}")
         return Unit(node, m, n, label)
 
+    _TAG_NAME = re.compile(r"^</?\s*([A-Za-z_][A-Za-z0-9_]*)")
+    _TAG_ATTR = re.compile(r'([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"([^"]*)"')
+
+    def _tag_node(self, tok: str) -> TagNode:
+        name = self._TAG_NAME.match(tok).group(1)
+        attrs = tuple(sorted(self._TAG_ATTR.findall(tok)))
+        return TagNode(name, attrs)
+
     def _str_arg(self) -> str:
         """A 'single-quoted', "double-quoted", or bare-ident string argument
         of a function-style atom (the reference's query extension functions
@@ -456,20 +467,20 @@ class _Parser:
     #       | _posfilter '(' relquery ',' relquery ',' OP [',' INVERT] ')'
     def atom(self):
         if self.peek("tagself"):
-            # <s/> — spans of the inline tag (SpanQueryTags)
-            name = self.eat("tagself")[1:-2]
-            return TagNode(name)
+            # <s/> / <s n="e"/> — spans of the inline tag, optionally
+            # filtered on attributes (SpanQueryTags; cql.jj tag grammar)
+            return self._tag_node(self.eat("tagself"))
         if self.peek("tagopen"):
             # <s> q </s> — q within the tag (cql.jj tag grammar; the
             # reference rewrites the enclosed pattern to a within filter)
-            name = self.eat("tagopen")[1:-1]
+            tag = self._tag_node(self.eat("tagopen"))
             inner = self.filtered()
-            close = self.eat("tagclose")[2:-1]
-            if close != name:
+            close = self.eat("tagclose")[2:-1].strip()
+            if close != tag.name:
                 raise ValueError(
-                    f"mismatched tag: <{name}> closed by </{close}>"
+                    f"mismatched tag: <{tag.name}> closed by </{close}>"
                 )
-            return PosFilterNode(inner, TagNode(name), "within", False)
+            return PosFilterNode(inner, tag, "within", False)
         if self.peek("ident") and self.peek("ident")[1] == "_posfilter":
             # _posfilter(producer, filter, operation, inverted) — the full
             # SpanQueryPositionFilter.Operation set, spelled like the
@@ -881,7 +892,19 @@ class CqlCompiler:
                     f"tag query <{node.name}/> on a corpus without a tags "
                     "table (build_tags)"
                 )
-            return self.tags.filter(F.col("tag") == node.name).select(
+            out = self.tags.filter(F.col("tag") == node.name)
+            for k, v in node.attrs:
+                if "attrs" not in out.columns:
+                    raise ValueError(
+                        "tag attribute filter on a tags table without an "
+                        "attrs column — rebuild with build_tags"
+                    )
+                # attribute values are anchored regexes, like the
+                # reference's tag-attribute clauses
+                out = out.filter(
+                    F.col("attrs").getItem(k).rlike(f"^(?:{v})$")
+                )
+            return out.select(
                 "doc_id",
                 F.col("start").cast("int").alias("start"),
                 F.col("end").cast("int").alias("end"),

@@ -255,7 +255,7 @@ def read_conllu_annotated(spark: SparkSession, path: str) -> DataFrame:
 _TEI_SCHEMA = (
     "conv_id string, turn_idx int, role string, text string, tool string, "
     "ts timestamp, word array<string>, lemma array<string>, pos array<string>, "
-    "tags array<struct<tag:string,start:int,end:int>>"
+    "tags array<struct<tag:string,start:int,end:int,attrs:map<string,string>>>"
 )
 
 
@@ -295,7 +295,8 @@ def _parse_tei(content: str):
                 else:
                     walk(child)
             if _local_name(el.tag) != "u":  # the utterance IS the doc
-                tags.append((_local_name(el.tag), start, len(words)))
+                attrs = {_local_name(k): v for k, v in el.attrib.items()}
+                tags.append((_local_name(el.tag), start, len(words), attrs))
 
         walk(u)
         if words:

@@ -159,8 +159,8 @@ TEI = """<TEI xmlns="http://www.tei-c.org/ns/1.0"><teiHeader/><text><body>
 <u who="A">
   <s><w lemma="de" pos="det">De</w><w lemma="kat" pos="noun">kat</w>
      <w lemma="slapen" pos="verb">slaapt</w></s>
-  <s><w lemma="de" pos="det">de</w><w lemma="hond" pos="noun">hond</w>
-     <w lemma="niet" pos="adv">niet</w></s>
+  <s><w lemma="de" pos="det">de</w><seg type="loud"><w lemma="hond"
+     pos="noun">hond</w><w lemma="niet" pos="adv">niet</w></seg></s>
 </u>
 <u who="B">
   <s><w lemma="kat" pos="noun">Kat</w><w lemma="en" pos="cnj">en</w>
@@ -196,8 +196,9 @@ def test_tei_reader_shape(teicorp):
     assert list(a["word"]) == ["de", "kat", "slaapt", "de", "hond", "niet"]
     assert list(a["lemma"])[1] == "kat" and list(a["pos"])[1] == "noun"
     assert [(t["tag"], t["start"], t["end"]) for t in a["tags"]] == [
-        ("s", 0, 3), ("s", 3, 6)
+        ("s", 0, 3), ("seg", 4, 6), ("s", 3, 6)
     ]
+    assert dict(a["tags"][1]["attrs"]) == {"type": "loud"}
     b = rows[("doc.xml", 1)]
     assert b["role"] == "B" and list(b["word"]) == ["kat", "en", "hond"]
 
@@ -223,6 +224,13 @@ def test_tag_queries(teicorp):
     # tag + annotation layers compose
     assert spans(ac.find_cql('<s> [pos="noun"] [pos="adv"] </s>')) == [
         (0, 4, 6)
+    ]
+    # attribute filters (anchored regex values, cql.jj tag attributes)
+    assert spans(ac.find_cql('<seg type="loud"/>')) == [(0, 4, 6)]
+    assert spans(ac.find_cql('<seg type="lo.*"/>')) == [(0, 4, 6)]
+    assert spans(ac.find_cql('<seg type="quiet"/>')) == []
+    assert spans(ac.find_cql('<seg type="loud"> "niet" </seg>')) == [
+        (0, 5, 6)
     ]
     # mismatched close tag is a parse error
     with pytest.raises(ValueError, match="mismatched"):
