@@ -459,6 +459,11 @@ def build_index(
             F.flatten("tokens_mv") if "tokens_mv" in docs.columns
             else F.col("tokens")
         )
+        # (r7 note: a single-pass struct-explode variant — explode(concat(
+        # transform(tokens, t→(t,1)), transform(array_distinct, t→(t,0))))
+        # with one groupBy — was tried and measured 2-10x SLOWER than these
+        # two codegen'd explodes: per-token struct construction defeats the
+        # columnar explode fast path. Keeping the two-pass form.)
         cf_df = (
             docs.select(F.explode(flat_tok).alias("term"))
             .groupBy("term").agg(F.count("*").alias("cf"))
@@ -502,134 +507,191 @@ def build_index(
         colnames = [f.name for f in POSTINGS_SCHEMA.fields]
 
         def encode_partition(batches):
-            """Encode a (term_id, salt)-sorted partition into posting blocks.
+            """Encode pre-grouped (term_id, salt, df, plist) rows into
+            posting blocks.
 
-            Arrow-native: one Python call per ARROW BATCH (not per term);
-            input columns are zero-copy numpy views; a group's position bytes
-            are ONE slice of the batch's binary data buffer (rows are sorted,
-            per-doc gap restart). Groups straddling batch boundaries are
-            carried over as numpy arrays — the Arrow-stage analog of
-            BlackLabPostingsWriter's sequential term walk."""
+            r7 (guide §4.1/§4.2): the input is ONE ROW PER (term, salt)
+            GROUP with the group's doc-sorted postings as a
+            list<struct<doc_id,tf,dl,pos_enc>> payload — the JVM groupBy +
+            sort_array replaces the old row-level repartition+sort, and the
+            JVM→Python Arrow conversion handles ~10k list rows instead of
+            ~13M flat rows (measured 6s → 0.3s at sf1: Spark's row→Arrow
+            writer cost is per-ROW, so crossing the boundary with grouped
+            payloads removes the dominant postings-stage cost). Per batch,
+            everything is numpy-vectorized: three batch-wide varint encodes
+            (gaps/tfs/dls) sliced per block through zero-copy Arrow binary
+            offsets, block maxima via np.maximum.reduceat. Every emitted
+            byte and float is identical to the r6 per-block loop (pinned by
+            the old-vs-new postings md5 parity check run for this round):
+            varints are per-value, gap resets land exactly on block starts,
+            and block_max_score keeps scoring.bm25's op order (idf*tf
+            then /) elementwise before the max. A group never straddles a
+            batch (it is one row), so no carry-over logic is needed."""
             import numpy as np
             import pyarrow as pa
 
-            cols = ["term_id", "salt", "doc_id", "tf", "dl", "df"]
-            pending = None  # (arrays dict, pos_data bytes, pos_offs np.int64)
+            def encode_groups(tid_g, salt_g, df_g, loffs, d, tf_i, dl_i,
+                              pos_data, pos_offs):
+                n = int(loffs[-1])
+                gstart = loffs[:-1]
+                gsize = np.diff(loffs)
+                # block starts: every bs-th row within its group (same
+                # boundaries as encode_blocks' per-group range(0, n, bs))
+                off_in_g = np.arange(n, dtype=np.int64) - np.repeat(gstart, gsize)
+                bstarts = np.flatnonzero(off_in_g % bs == 0)
+                bnd = np.concatenate((bstarts, [n]))
+                bends = bnd[1:]
+                n_blocks = bstarts.size
+                # group index of each block
+                grp = np.searchsorted(gstart, bstarts, side="right") - 1
+                # doc gaps with a restart (=0) at every block start — the
+                # per-block np.diff(d, prepend=d[0]) equivalent
+                g = np.empty(n, dtype=np.int64)
+                g[0] = 0
+                np.subtract(d[1:], d[:-1], out=g[1:])
+                g[bstarts] = 0
+                gaps_buf, gaps_nb = codecs.varint_encode_with_lengths(
+                    g.astype(np.uint64)
+                )
+                tfs_buf, tfs_nb = codecs.varint_encode_with_lengths(
+                    tf_i.astype(np.uint64)
+                )
+                dls_buf, dls_nb = codecs.varint_encode_with_lengths(
+                    dl_i.astype(np.uint64)
+                )
 
-            def extract(rb):
-                arrs = {}
-                for name in cols:
-                    arrs[name] = rb.column(rb.schema.get_field_index(name)).to_numpy(
-                        zero_copy_only=False
+                def bin_col(buf, nb):
+                    cum = np.concatenate(([0], np.cumsum(nb)))
+                    offs = cum[bnd]
+                    if len(buf) > 0x7FFFFFFF:  # >2 GiB payload: plain bytes
+                        return pa.array(
+                            [buf[offs[i]:offs[i + 1]] for i in range(n_blocks)],
+                            pa.binary(),
+                        )
+                    return pa.Array.from_buffers(
+                        pa.binary(), n_blocks,
+                        [None, pa.py_buffer(offs.astype(np.int32).tobytes()),
+                         pa.py_buffer(buf)],
                     )
-                pe = rb.column(rb.schema.get_field_index("pos_enc"))
-                if isinstance(pe, pa.ChunkedArray):
-                    pe = pe.combine_chunks()
+
+                pos_off_b = np.asarray(pos_offs, dtype=np.int64)[bnd]
+                if len(pos_data) > 0x7FFFFFFF:
+                    pos_col = pa.array(
+                        [pos_data[pos_off_b[i]:pos_off_b[i + 1]]
+                         for i in range(n_blocks)],
+                        pa.binary(),
+                    )
+                else:
+                    pos_col = pa.Array.from_buffers(
+                        pa.binary(), n_blocks,
+                        [None,
+                         pa.py_buffer(pos_off_b.astype(np.int32).tobytes()),
+                         pa.py_buffer(pos_data)],
+                    )
+
+                # per-group idf (scoring.idf op order, elementwise float64)
+                df_f = df_g.astype(np.float64)
+                idf_g = np.log(
+                    np.float64(1.0)
+                    + (np.float64(nd) - df_f + np.float64(0.5))
+                    / (df_f + np.float64(0.5))
+                )
+                # per-posting score with scoring.bm25's exact op order:
+                # (idf * tf) / (tf + norm)
+                tf_f = np.asarray(tf_i, dtype=np.float64)
+                dl_f = np.asarray(dl_i, dtype=np.float64)
+                norm = np.float64(scoring.K1) * (
+                    np.float64(1.0 - scoring.B)
+                    + np.float64(scoring.B) * dl_f / np.float64(ad)
+                )
+                idf_rows = np.repeat(idf_g, gsize)
+                s_rows = idf_rows * tf_f / (tf_f + norm)
+                block_max_score = np.maximum.reduceat(s_rows, bstarts)
+                block_max_tf = np.maximum.reduceat(tf_i, bstarts)
+
+                # block_no = salt * blocks_per_salt + index-within-group
+                block_no = (
+                    salt_g[grp] * np.int64(blocks_per_salt)
+                    + off_in_g[bstarts] // bs
+                )
+                return pa.RecordBatch.from_arrays(
+                    [
+                        pa.array(tid_g[grp], pa.int64()),
+                        pa.array(block_no.astype(np.int64), pa.int64()),
+                        pa.array(d[bstarts], pa.int64()),
+                        pa.array(d[bends - 1], pa.int64()),
+                        pa.array((bends - bstarts).astype(np.int32), pa.int32()),
+                        bin_col(gaps_buf, gaps_nb),
+                        bin_col(tfs_buf, tfs_nb),
+                        bin_col(dls_buf, dls_nb),
+                        pos_col,
+                        pa.array(block_max_tf.astype(np.int32), pa.int32()),
+                        pa.array(block_max_score, pa.float64()),
+                    ],
+                    names=colnames,
+                )
+
+            for rb in batches:
+                if rb.num_rows == 0:
+                    continue
+                names = {n: i for i, n in enumerate(rb.schema.names)}
+                tid_g = rb.column(names["term_id"]).to_numpy(zero_copy_only=False)
+                salt_g = rb.column(names["salt"]).to_numpy(zero_copy_only=False)
+                df_g = rb.column(names["df"]).to_numpy(zero_copy_only=False)
+                plist = rb.column(names["plist"])
+                if isinstance(plist, pa.ChunkedArray):
+                    plist = plist.combine_chunks()
+                flat = plist.flatten()  # struct values, list-sliced
+                loffs = plist.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+                loffs = loffs - loffs[0]
+                d = flat.field("doc_id").to_numpy(zero_copy_only=False).astype(
+                    np.int64, copy=False
+                )
+                tf_i = flat.field("tf").to_numpy(zero_copy_only=False)
+                dl_i = flat.field("dl").to_numpy(zero_copy_only=False)
+                pe = flat.field("pos_enc")
                 # BinaryArray buffers: [validity, int32 offsets, data]
                 bufs = pe.buffers()
                 raw_offs = np.frombuffer(bufs[1], dtype=np.int32)
-                offs = raw_offs[pe.offset : pe.offset + len(pe) + 1].astype(np.int64)
+                offs = raw_offs[pe.offset: pe.offset + len(pe) + 1].astype(np.int64)
                 data = (
                     np.frombuffer(bufs[2], dtype=np.uint8)
                     if bufs[2] is not None
                     else np.zeros(0, np.uint8)
                 )
                 base = offs[0]
-                return arrs, data[base:offs[-1]].tobytes(), offs - base
-
-            def encode_groups(arrs, pos_data, pos_offs):
-                tids = arrs["term_id"]
-                salts = arrs["salt"]
-                n = len(tids)
-                newg = np.concatenate(
-                    ([True], (tids[1:] != tids[:-1]) | (salts[1:] != salts[:-1]))
-                )
-                starts = np.flatnonzero(newg)
-                ends = np.concatenate((starts[1:], [n]))
-                rows = []
-                for s, e in zip(starts, ends):
-                    w = scoring.idf(nd, int(arrs["df"][s]))
-                    blocks = codecs.encode_blocks(
-                        arrs["doc_id"][s:e], arrs["tf"][s:e], arrs["dl"][s:e], None,
-                        avgdl=ad, idf_val=w, block_size=bs,
-                    )
-                    base = int(salts[s]) * blocks_per_salt
-                    tid = int(tids[s])
-                    for i, b in enumerate(blocks):
-                        lo = s + i * bs
-                        hi = min(s + (i + 1) * bs, e)
-                        b["positions"] = pos_data[pos_offs[lo]:pos_offs[hi]]
-                        rows.append({"term_id": tid, "block_no": base + i, **b})
-                out = {k: [r[k] for r in rows] for k in colnames}
-                return pa.RecordBatch.from_arrays(
-                    [
-                        pa.array(out["term_id"], pa.int64()),
-                        pa.array(out["block_no"], pa.int64()),
-                        pa.array(out["first_doc_id"], pa.int64()),
-                        pa.array(out["last_doc_id"], pa.int64()),
-                        pa.array(out["num_docs"], pa.int32()),
-                        pa.array(out["doc_gaps"], pa.binary()),
-                        pa.array(out["tfs"], pa.binary()),
-                        pa.array(out["dls"], pa.binary()),
-                        pa.array(out["positions"], pa.binary()),
-                        pa.array(out["block_max_tf"], pa.int32()),
-                        pa.array(out["block_max_score"], pa.float64()),
-                    ],
-                    names=colnames,
-                )
-
-            def merge(pend, cur):
-                arrs = {
-                    k: np.concatenate((pend[0][k], cur[0][k])) for k in cols
-                }
-                data = pend[1] + cur[1]
-                offs = np.concatenate((pend[2][:-1], cur[2] + pend[2][-1]))
-                return arrs, data, offs
-
-            for rb in batches:
-                if rb.num_rows == 0:
+                pos_data = data[base:offs[-1]].tobytes()
+                pos_offs = offs - base
+                if len(tid_g) == 0:
                     continue
-                cur = extract(rb)
-                if pending is not None:
-                    cur = merge(pending, cur)
-                    pending = None
-                tids = cur[0]["term_id"]
-                salts = cur[0]["salt"]
-                tail = (tids == tids[-1]) & (salts == salts[-1])
-                n = len(tids)
-                cut = 0 if tail.all() else n - int(np.argmin(tail[::-1]))
-                head = (
-                    {k: v[:cut] for k, v in cur[0].items()},
-                    cur[1][: int(cur[2][cut])],
-                    cur[2][: cut + 1],
+                yield encode_groups(
+                    tid_g, salt_g, df_g, loffs, d, tf_i, dl_i, pos_data, pos_offs
                 )
-                pending = (
-                    {k: v[cut:] for k, v in cur[0].items()},
-                    cur[1][int(cur[2][cut]):],
-                    cur[2][cut:] - cur[2][cut],
-                )
-                if cut > 0:
-                    yield encode_groups(*head)
-            if pending is not None and len(pending[0]["term_id"]):
-                yield encode_groups(*pending)
 
-        postings = (
+        # r7 plan shape (guide §2.4/§4.1): ONE exchange (the groupBy hash
+        # shuffle on (term_id, salt)) carries the position bytes — the old
+        # plan had a repartition + row sort + a SECOND repartitionByRange of
+        # every encoded block (plus a .persist() and a sampling job).
+        # sort_array orders each group's postings by doc_id JVM-side (struct
+        # comparison: doc_id is the first field and unique per group);
+        # sortWithinPartitions orders the ~hundreds of GROUP rows per
+        # partition so blocks land term_id-ascending within every file and
+        # parquet min/max row-group stats keep pruning term lookups.
+        (
             salted.select("term_id", "salt", "doc_id", "tf", "dl", "df", "pos_enc")
             .repartition(num_partitions, "term_id", "salt")
-            .sortWithinPartitions("term_id", "salt", "doc_id")
+            .groupBy("term_id", "salt")
+            .agg(
+                F.first("df").alias("df"),
+                F.sort_array(
+                    F.collect_list(F.struct("doc_id", "tf", "dl", "pos_enc"))
+                ).alias("plist"),
+            )
+            .sortWithinPartitions("term_id", "salt")
             .mapInArrow(encode_partition, schema=POSTINGS_SCHEMA)
-        ).persist()  # blocks are small; without this, repartitionByRange's
-        #              sampling pass would run the whole encode pipeline twice
-        # Range-layout by term_id so per-term query scans prune to few files
-        # (parquet min/max on term_id), analogous to Lucene's term-sorted
-        # postings file.
-        (
-            postings.repartitionByRange(num_partitions, "term_id")
-            .sortWithinPartitions("term_id", "block_no")
             .write.mode("overwrite")
             .parquet(paths.postings)
         )
-        postings.unpersist()
         _mark_stage(paths, "postings", t0)
 
     # ---------------- stage: manifest (per-partition lineage + metrics) ----

@@ -91,17 +91,37 @@ class Corpus:
             )
 
     # ------------------------------------------------------------ tables --
+    # r7: every table handle is resolved ONCE per Corpus (spark.read.parquet
+    # lists the directory and reads a footer for schema on EVERY call — a
+    # driver-side cost paid per query before this). A Corpus is a
+    # point-in-time snapshot like an open Lucene IndexReader (appends open a
+    # fresh Corpus — see preload), so reusing the relation is semantics-
+    # preserving, and Spark's shared FileStatusCache keeps listings fresh
+    # per-path anyway.
     @property
     def docs(self) -> DataFrame:
-        return getattr(self, "_docs_df", None) or self.spark.read.parquet(self.paths.docs)
+        cached = getattr(self, "_docs_df", None)
+        if cached is None:
+            cached = self._docs_df = self.spark.read.parquet(self.paths.docs)
+        return cached
 
     @property
     def term_dict(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.term_dict)
+        cached = getattr(self, "_term_dict_df", None)
+        if cached is None:
+            cached = self._term_dict_df = self.spark.read.parquet(
+                self.paths.term_dict
+            )
+        return cached
 
     @property
     def postings(self) -> DataFrame:
-        return self.spark.read.parquet(self.paths.postings)
+        cached = getattr(self, "_postings_df", None)
+        if cached is None:
+            cached = self._postings_df = self.spark.read.parquet(
+                self.paths.postings
+            )
+        return cached
 
     def preload(self, pin_docs: bool | str = "auto") -> "Corpus":
         """Serving mode — the analog of BlackLab holding an open IndexReader:
