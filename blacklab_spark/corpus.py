@@ -761,7 +761,17 @@ class Corpus:
                 for tid, g in pdf[pdf["role"] == 1].groupby("term_id")
             }
 
-        return blocks.groupBy("rng").applyInPandas(chain_range, schema=out_schema)
+        # r7 (guide §2.5 "stragglers"/AQE interaction): the compressed-block
+        # shuffle is tiny (a few MB), so AQE's partition coalescing merged
+        # the n_ranges reduce partitions down to 1-5 tasks and the Python
+        # decode+intersect kernel ran nearly SERIAL. An explicit repartition
+        # on the range key is user-specified partitioning AQE never
+        # coalesces; groupBy("rng") reuses it (no extra exchange), keeping
+        # one kernel task per doc range.
+        return (
+            blocks.repartition(n_ranges, "rng")
+            .groupBy("rng").applyInPandas(chain_range, schema=out_schema)
+        )
 
     def spans_chain_vargap(
         self,
@@ -1076,7 +1086,9 @@ class Corpus:
             return _fold_topk(parts, keys)
 
         fn = score_range_and if conjunctive else score_range_or
-        scored = blocks.groupBy("rng").applyInPandas(
+        # explicit range repartition: see positions_chain — stops AQE from
+        # coalescing the tiny block shuffle into a near-serial Python stage
+        scored = blocks.repartition(n_ranges, "rng").groupBy("rng").applyInPandas(
             fn, schema="doc_id long, score double"
         )
         if kk is None:

@@ -168,20 +168,27 @@ def simhash(df: DataFrame, tokens_col: str, id_col: str, bits: int = 32) -> Data
         .agg(F.count("*").alias("tf"))
         .withColumn("x", _md5_int32(F.col("term")))
     )
-    per_bit = tf.select(
-        "id",
-        "tf",
-        F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("bit"),
-        F.col("x"),
-    ).withColumn("isset", F.expr("shiftright(x, bit) & 1"))
-    votes = per_bit.groupBy("id", "bit").agg(
-        F.sum(F.when(F.col("isset") == 1, F.col("tf")).otherwise(-F.col("tf"))).alias("v")
-    )
-    return votes.groupBy("id").agg(
+    # r7 (guide §2.3 "shuffle fewer bytes"): the per-bit vote used to
+    # explode every (id, term) row `bits` times and shuffle the 32x row set
+    # through a (id, bit) groupBy plus a second (id) groupBy. The same
+    # votes fall out of ONE groupBy("id") with `bits` conditional sums —
+    # v_bit = sum(tf if bit set else -tf) — and the fingerprint is then a
+    # row-local sum of shifted sign bits. Identical values, one shuffle of
+    # (id, term) rows with map-side partial aggregation, no 32x explode.
+    votes = tf.groupBy("id").agg(*[
         F.sum(
-            F.when(F.col("v") > 0, F.expr("shiftleft(1L, bit)")).otherwise(F.lit(0).cast("long"))
-        ).alias("simhash")
-    )
+            F.when(F.expr(f"shiftright(x, {b}) & 1") == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"v{b}")
+        for b in range(bits)
+    ])
+    fingerprint = None
+    for b in range(bits):
+        term = F.when(
+            F.col(f"v{b}") > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return votes.select("id", fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bands: int = 4, bits: int = 32) -> DataFrame:

@@ -28,6 +28,8 @@ columnar forward index — so they scale as pure map+shuffle-agg plans.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,6 +84,27 @@ def group_hits_by_meta(docs: DataFrame, term: str, meta_col: str) -> DataFrame:
     return group_hits_by_meta_tf(h, docs, meta_col)
 
 
+# r7 (guide §3.1): the hit→forward-index joins below planned as
+# SortMergeJoin (the hits side is Python-decoded, so the optimizer has no
+# size estimate) — shuffling the WHOLE docs table's token arrays to join a
+# few thousand hit rows (q_colloc plan: 2 Exchange + 2 Sort around the
+# join). A capped count probes the hits side's true size; when it is small
+# the hits are broadcast and the docs side is scanned in place — zero
+# exchange on the heavy side. Above the cap (the "every hit of a stop
+# word at 100 TB" case) the original shuffle join stands. Cap is
+# parameterised; 500k hit rows ≈ 25 MB broadcast.
+_BROADCAST_HITS_CAP = int(os.environ.get("BLACKLAB_BROADCAST_HITS_CAP", "500000"))
+
+
+def _hits_for_docs_join(h: DataFrame) -> DataFrame:
+    cap = _BROADCAST_HITS_CAP
+    if cap <= 0:
+        return h
+    if h.limit(cap + 1).count() <= cap:
+        return F.broadcast(h)
+    return h
+
+
 def collocations_hits(h: DataFrame, docs: DataFrame, window: int = 2) -> DataFrame:
     """Context-word frequencies within ±window tokens of each hit, given a
     hits frame (doc_id, pos).
@@ -91,7 +114,7 @@ def collocations_hits(h: DataFrame, docs: DataFrame, window: int = 2) -> DataFra
     bounded work per hit. The round-1 band join (hits × all doc tokens before
     the window filter) was per-doc quadratic for stop-word hits; this is not.
     """
-    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    joined = _hits_for_docs_join(h).join(docs.select("doc_id", "tokens"), "doc_id")
     left_start = F.greatest(F.lit(1), F.col("pos") + 1 - window)
     left_len = F.col("pos") + 1 - left_start
     ctx = F.concat(
@@ -114,7 +137,9 @@ def kwic_hits(h: DataFrame, docs: DataFrame, context: int = 2) -> DataFrame:
     """KeyWord-In-Context rows for a hits frame: (doc_id, pos, left, match,
     right). Context words come from the tokens column (forward index), sliced
     with built-in array functions — no Python in the hot path."""
-    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    joined = _hits_for_docs_join(h).join(
+        docs.select("doc_id", "tokens"), "doc_id"
+    )
     # slice() is 1-based; clamp the left edge at the doc start
     left_start = F.greatest(F.lit(1), F.col("pos") + 1 - context)
     left_len = F.col("pos") + 1 - left_start
@@ -140,7 +165,9 @@ def kwic_spans(h: DataFrame, docs: DataFrame, context: int = 2) -> DataFrame:
     hitresults/Kwics.java:27-46). Adds left/match/right; keeps every other
     hit column (captures etc.). Same physical shape as kwic_hits: one
     doc-keyed join + built-in array slicing, no Python."""
-    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    joined = _hits_for_docs_join(h).join(
+        docs.select("doc_id", "tokens"), "doc_id"
+    )
     left_start = F.greatest(F.lit(1), F.col("start") + 1 - context)
     left_len = F.col("start") + 1 - left_start
     keep = [c for c in h.columns if c != "doc_id"]
@@ -199,7 +226,7 @@ def kwic_text(h: DataFrame, docs: DataFrame, context: int = 2) -> DataFrame:
             "kwic_text needs docs columns text/tok_starts/tok_ends — "
             "build the index with store_offsets=True"
         )
-    joined = h.join(
+    joined = _hits_for_docs_join(h).join(
         docs.select("doc_id", "text", "tok_starts", "tok_ends"), "doc_id"
     )
     cs = F.element_at("tok_starts", F.col("start") + 1)
@@ -234,7 +261,9 @@ def sort_hits_by_context_hits(
     the forward index (tokens column). Fully specified order for determinism
     (context asc, doc_id, pos) — the reference pins sort the same way in its
     golden tests (/root/reference/test/test/hits.js:34)."""
-    joined = h.join(docs.select("doc_id", "tokens"), "doc_id")
+    joined = _hits_for_docs_join(h).join(
+        docs.select("doc_id", "tokens"), "doc_id"
+    )
     idx = F.col("pos") + 1 + offset  # 1-based
     # NULL past either edge; Spark rejects index 0 even in try_element_at
     ctx = F.when(idx >= 1, F.try_element_at("tokens", idx)).otherwise(F.lit(None))
@@ -437,7 +466,9 @@ def group_hits_by_context_and_meta(
     engine/src/main/java/nl/inl/blacklab/resultproperty/HitPropertyMultiple.java:239,
     combining HitPropertyAfterHit with DocPropertyStoredField).
     `docs` must carry both the tokens column and `meta_col`."""
-    joined = h.join(docs.select("doc_id", "tokens", meta_col), "doc_id")
+    joined = _hits_for_docs_join(h).join(
+        docs.select("doc_id", "tokens", meta_col), "doc_id"
+    )
     ctx = F.coalesce(
         F.try_element_at("tokens", F.col("pos") + 1 + offset), F.lit("")
     )
@@ -480,7 +511,9 @@ def group_hits_by_capture(
     (/root/reference/engine/src/main/java/nl/inl/blacklab/resultproperty/
     HitPropertyCaptureGroup.java): the capture's first token is looked up in
     the forward index and used as the group key."""
-    joined = spans_with_caps.join(docs.select("doc_id", "tokens"), "doc_id")
+    joined = _hits_for_docs_join(spans_with_caps).join(
+        docs.select("doc_id", "tokens"), "doc_id"
+    )
     key = F.element_at("tokens", F.col(f"c_{label}_s") + 1)
     return (
         joined.select(key.alias("capture"))
