@@ -449,11 +449,18 @@ class Corpus:
     def spans_terms(self, terms: list[str]) -> DataFrame:
         """Union of length-1 spans for several terms from ONE postings scan —
         the BLSpanMultiTermQueryWrapper expansion leaf (one regex/wildcard
-        atom expands to many terms; they share a single decode pass)."""
+        atom expands to many terms; they share a single decode pass).
+
+        r7: the EXACT output size is known at plan time — sum of the terms'
+        collection frequencies — so when it fits the broadcast cap the
+        result carries a broadcast hint. Downstream hit→docs joins
+        (collocations, KWIC, context ops) then broadcast the hits side
+        without the runtime size probe (guide §3.1: the optimizer cannot
+        size a Python-decoded side; we can)."""
         tinfo = self.lookup_terms(terms)
         if tinfo.empty:
             return self.spark.createDataFrame([], "doc_id long, start int, end int")
-        return (
+        out = (
             self._decoded_positions(tinfo)
             .select("doc_id", F.explode("positions").alias("p"))
             .select(
@@ -462,6 +469,11 @@ class Corpus:
                 (F.col("p") + 1).cast("int").alias("end"),
             )
         )
+        from blacklab_spark.operators.grouping import _BROADCAST_HITS_CAP
+
+        if 0 < int(tinfo["cf"].sum()) <= _BROADCAST_HITS_CAP:
+            out = out.hint("broadcast")
+        return out
 
     def positions_of_terms(self, terms: list[str]) -> DataFrame:
         """(doc_id, positions sorted array<long>): merged per-doc start

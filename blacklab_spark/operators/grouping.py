@@ -100,6 +100,13 @@ def _hits_for_docs_join(h: DataFrame) -> DataFrame:
     cap = _BROADCAST_HITS_CAP
     if cap <= 0:
         return h
+    try:
+        # a producer that KNOWS its output size (spans_terms: sum of cf)
+        # already attached a broadcast hint — skip the runtime probe job
+        if "ResolvedHint" in h._jdf.queryExecution().analyzed().toString():
+            return h
+    except Exception:
+        pass
     if h.limit(cap + 1).count() <= cap:
         return F.broadcast(h)
     return h
