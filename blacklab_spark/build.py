@@ -480,7 +480,9 @@ def build_index(
             num_partitions=num_partitions, return_count=True,
         )
         term_dict.sortWithinPartitions("term").write.mode("overwrite").parquet(paths.term_dict)
-        spark.catalog.clearCache()
+        pers = getattr(term_dict, "_blx_persisted", None)
+        if pers is not None:  # assign_dense_ids' range-partitioned cache
+            pers.unpersist()
         meta["n_terms"] = n_terms
         with open(paths.meta, "w") as f:
             json.dump(meta, f, indent=2)
@@ -727,5 +729,4 @@ def build_index(
             blocks_written=int(totals[2] or 0),
         )
 
-    spark.catalog.clearCache()
     return paths

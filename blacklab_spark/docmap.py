@@ -64,7 +64,13 @@ def assign_dense_ids(
             .drop("_pid", "_rn", "_off")
         )
         # Materialization happens in the caller (build writes parquet
-        # immediately); unpersist is deferred to then via the returned plan.
+        # immediately). The persisted intermediate rides along so the caller
+        # can unpersist EXACTLY this relation afterwards — r7: the old
+        # contract ended with spark.catalog.clearCache() in build_index,
+        # which also evicted CALLER-owned caches (e.g. a persisted input
+        # DataFrame a benchmark reuses across two builds, forcing a full
+        # recompute of the second build's input).
+        out._blx_persisted = with_pid
         if return_count:
             return out, acc
         return out
