@@ -209,36 +209,47 @@ def cmd_plans():
 
 
 def cmd_pipeline():
-    """LLM-data-pipeline operators, noop-sink isolated (guide §1.4)."""
+    """LLM-data-pipeline operators, noop-sink isolated (guide §1.4):
+    warm-up run, then best-of-2 timed runs per operator."""
     from pyspark.sql import functions as F
 
     from blacklab_spark.session import get_spark
+    from blacklab_spark.tokenizer import TOKEN_PATTERN_SQL
 
     sf_dir, cpus, sf, n_turns = _env()
     spark = get_spark("bench_extra_pipe", cores=cpus, shuffle_partitions=max(cpus, 8))
-    docs = spark.read.parquet(os.path.join(sf_dir, "documents"))
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    toked = docs.withColumn(
+        "tokens",
+        F.expr(f"regexp_extract_all(lower(text), '{TOKEN_PATTERN_SQL}', 0)"),
+    )
 
     from blacklab_spark.operators import dedup, similarity, textstats
 
     def noop(df):
         df.write.format("noop").mode("overwrite").save()
 
-    emb = spark.read.parquet(os.path.join(sf_dir, "embeddings")) \
-        if os.path.isdir(os.path.join(sf_dir, "embeddings")) else None
+    emb_p = os.path.join(sf_dir, "embeddings.parquet")
+    emb = spark.read.parquet(emb_p) if os.path.exists(emb_p) else None
 
+    sh = dedup.shingles(toked, "tokens", "doc_id", n=3)
     jobs = [
-        ("dedup_exact", lambda: noop(dedup.exact_duplicates(docs))),
-        ("minhash_pairs", lambda: noop(dedup.minhash_lsh_pairs(docs, threshold=0.5))),
-        ("simhash", lambda: noop(dedup.simhash_values(docs))),
-        ("ngram_jaccard", lambda: noop(dedup.ngram_jaccard_pairs(docs, threshold=0.5))),
-        ("textstats", lambda: noop(textstats.token_count(
-            textstats.quality_score(textstats.lang_id(docs))))),
-        ("fingerprint", lambda: noop(textstats.fingerprint(docs))),
+        ("dedup_exact", lambda: noop(dedup.dedup_exact(docs, "text", "doc_id"))),
+        ("minhash_pairs", lambda: noop(dedup.lsh_candidate_pairs(
+            dedup.minhash_signatures(sh, 16), 16, 4))),
+        ("simhash", lambda: noop(dedup.simhash(toked, "tokens", "doc_id"))),
+        ("ngram_jaccard", lambda: noop(dedup.exact_jaccard_pairs(
+            sh, min_jaccard=0.5, max_shingle_df=50))),
+        ("textstats", lambda: noop(
+            textstats.token_counts(docs, "text", "doc_id")
+            .join(textstats.quality_score(docs, "text", "doc_id"), "id")
+            .join(textstats.lang_id(docs, "text", "doc_id"), "id"))),
+        ("fingerprint", lambda: noop(textstats.fingerprint(docs, "text", "doc_id"))),
     ]
     if emb is not None:
-        qv = emb.limit(1).collect()[0]["embedding"]
+        qv = [float(x) for x in emb.limit(1).collect()[0]["embedding"]]
         jobs += [
-            ("embedding_topk", lambda: noop(similarity.embedding_topk(emb, qv, k=10))),
+            ("embedding_topk", lambda: noop(similarity.cosine_topk(emb, qv, k=10))),
             ("cosine_near_pairs", lambda: noop(
                 similarity.cosine_near_pairs(emb, threshold=0.9))),
         ]
@@ -246,15 +257,16 @@ def cmd_pipeline():
     for name, fn in jobs:
         spark.sparkContext.setJobDescription(name)
         try:
-            t = time.time()
-            fn()
-            fn()  # warm second run
-            out[name] = round(time.time() - t, 3)
-            t = time.time()
-            fn()
-            out[name] = round(time.time() - t, 3)
+            fn()  # warm-up
+            best = None
+            for _ in range(2):
+                t = time.time()
+                fn()
+                w = time.time() - t
+                best = w if best is None else min(best, w)
+            out[name] = round(best, 3)
         except Exception as e:  # signature drift — record, keep measuring
-            out[name] = f"ERR {e}"
+            out[name] = f"ERR {type(e).__name__}: {str(e)[:120]}"
         spark.sparkContext.setJobDescription(None)
     print(json.dumps({"sf": sf, "pipeline_sec": out}))
 

@@ -101,20 +101,34 @@ def lsh_candidate_pairs(
             )
         ).alias("band", "band_sig"),
     )
+    # r7 (guide §2.4/§3.3): the old banded SELF-JOIN evaluated the whole
+    # upstream pipeline (shingles → md5 → 16-way minhash agg) TWICE — once
+    # per join side — and shuffled on an array-typed key; the bucket-size
+    # cap added a third aggregation plus a semi join. One groupBy now
+    # collects each bucket's sorted ids, the cap is a free size() filter on
+    # the collected array, and the candidate pairs fall out of a JVM
+    # higher-order transform (i<j over the sorted array) — identical pairs,
+    # one upstream evaluation, one shuffle. Measured 11.6s → see
+    # OPTIMIZATION_r07.md.
+    buckets = banded.groupBy("band", "band_sig").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     if max_bucket_size is not None:
-        sizes = banded.groupBy("band", "band_sig").agg(F.count("*").alias("_n"))
-        ok = sizes.filter(F.col("_n") <= max_bucket_size).select("band", "band_sig")
-        banded = banded.join(ok, ["band", "band_sig"], "left_semi")
-    a = banded.alias("a")
-    b = banded.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_bucket_size)
+    # two-step streamed expansion: posexplode anchors id_a, a second
+    # explode streams the tail — no bucket-sized pair array is ever
+    # materialized at once (a flatten(transform(...)) variant built each
+    # bucket's full k^2/2 pair array in memory and measured 2x slower)
+    anchored = buckets.select(
+        "ids", F.posexplode("ids").alias("i", "id_a")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_sig") == F.col("b.band_sig"))
-            & (F.col("a.id") < F.col("b.id")),
+        anchored.select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
 
@@ -135,16 +149,32 @@ def exact_jaccard_pairs(
     which are the pairs one wants to ignore anyway). Sizes are computed on
     the same capped shingle set so Jaccard stays internally consistent.
     """
+    # r7 (guide §2.4/§3.3): the shingle-keyed SELF-JOIN evaluated the
+    # upstream shingle pipeline twice (three times with the df cap's
+    # frequency pass). One groupBy(shingle) collects each inverted list;
+    # the df cap becomes a size() filter on it; pair intersection counts
+    # come from a JVM pairwise expansion of the sorted list; doc sizes are
+    # re-derived from the SAME capped buckets (the documented "sizes on the
+    # capped shingle set" contract). Identical output, one upstream
+    # evaluation.
+    buckets = sh.groupBy("shingle").agg(
+        F.sort_array(F.collect_list("id")).alias("ids")
+    )
     if max_shingle_df is not None:
-        freq = sh.groupBy("shingle").agg(F.count("*").alias("_df"))
-        keep = freq.filter(F.col("_df") <= max_shingle_df).select("shingle")
-        sh = sh.join(F.broadcast(keep), "shingle", "left_semi")
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
-    a = sh.alias("a")
-    b = sh.alias("b")
+        buckets = buckets.filter(F.size("ids") <= max_shingle_df)
+    sizes = (
+        buckets.select(F.explode("ids").alias("id"))
+        .groupBy("id").agg(F.count("*").alias("sz"))
+    )
+    anchored = buckets.select("ids", F.posexplode("ids").alias("i", "id_a"))
     inter = (
-        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        anchored.select(
+            "id_a",
+            F.explode(
+                F.slice("ids", F.col("i") + 2, F.size("ids"))
+            ).alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
         .agg(F.count("*").alias("inter"))
     )
     return (
@@ -202,13 +232,20 @@ def simhash_near_pairs(sig: DataFrame, max_hamming: int = 3, bands: int = 4, bit
         "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band"),
     ).withColumn("band_val", F.expr(f"shiftright(simhash, band * {width}) & {mask}"))
-    a, b = banded.alias("a"), banded.alias("b")
+    # r7: bucket-collect instead of a self-join (see lsh_candidate_pairs) —
+    # the upstream simhash pipeline is evaluated once, and candidate pairs
+    # come from a JVM pairwise expansion of each bucket's (id, simhash)
+    # structs, sorted by id so id_a < id_b. Identical pairs.
+    buckets = banded.groupBy("band", "band_val").agg(
+        F.sort_array(F.collect_list(F.struct("id", "simhash"))).alias("ms")
+    )
+    anchored = buckets.select("ms", F.posexplode("ms").alias("i", "a"))
     cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_val") == F.col("b.band_val"))
-            & (F.col("a.id") < F.col("b.id")),
+        anchored.select(
+            "a",
+            F.explode(
+                F.slice("ms", F.col("i") + 2, F.size("ms"))
+            ).alias("b"),
         )
         .select(
             F.col("a.id").alias("id_a"),

@@ -237,11 +237,16 @@ def kwic_text(h: DataFrame, docs: DataFrame, context: int = 2) -> DataFrame:
         docs.select("doc_id", "text", "tok_starts", "tok_ends"), "doc_id"
     )
     cs = F.element_at("tok_starts", F.col("start") + 1)
-    ce = F.element_at("tok_ends", F.col("end"))
+    # zero-width hits (start == end, e.g. _lenfilter's keep-only-zero-length
+    # or optional quantifiers) would index tok_ends at 0, which Spark
+    # rejects at runtime (ADVICE r6); an empty match ends where it starts
+    ce = F.when(
+        F.col("end") > F.col("start"), F.element_at("tok_ends", F.col("end"))
+    ).otherwise(cs)
     lt = F.greatest(F.col("start") - context, F.lit(0))
     lcs = F.element_at("tok_starts", lt + 1)
     rt = F.least(F.col("end") + context, F.size("tok_ends"))
-    rce = F.element_at("tok_ends", rt)
+    rce = F.when(rt >= 1, F.element_at("tok_ends", rt)).otherwise(F.lit(0))
     left = F.substring(F.col("text"), lcs + 1, cs - lcs)
     match = F.substring(F.col("text"), cs + 1, ce - cs)
     right = F.substring(F.col("text"), ce + 1, rce - ce)
