@@ -68,19 +68,37 @@ def _acquire_append_marker(path: str, payload: dict) -> str:
         f.flush()
         os.fsync(f.fileno())
     try:
-        os.link(tmp, marker)
-    except FileExistsError:
-        owner = None
         try:
-            with open(marker) as f:
-                owner = json.load(f).get("writer_pid")
-        except Exception:
-            pass
-        raise RuntimeError(
-            f"concurrent append in progress on {path} "
-            f"(pending marker held by writer pid={owner}); "
-            "retry after it completes or dies"
-        )
+            os.link(tmp, marker)
+        except FileExistsError:
+            owner = None
+            try:
+                with open(marker) as f:
+                    owner = json.load(f).get("writer_pid")
+            except Exception:
+                pass
+            raise RuntimeError(
+                f"concurrent append in progress on {path} "
+                f"(pending marker held by writer pid={owner}); "
+                "retry after it completes or dies"
+            )
+        except OSError:
+            # Filesystem without hardlink support (some FUSE/object-store/
+            # SMB mounts — ADVICE r6): fall back to the O_EXCL
+            # create-then-write path. Its acquire is still atomic; the
+            # narrower race it reintroduces is only the momentarily-empty-
+            # marker window vs a concurrent recover_pending.
+            try:
+                fd = os.open(marker, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            except FileExistsError:
+                raise RuntimeError(
+                    f"concurrent append in progress on {path} "
+                    "(pending marker exists); retry after it completes or dies"
+                ) from None
+            with os.fdopen(fd, "w") as f, open(tmp) as src:
+                f.write(src.read())
+                f.flush()
+                os.fsync(f.fileno())
     finally:
         os.unlink(tmp)
     with _LOCAL_LOCK:

@@ -156,3 +156,31 @@ def test_torn_marker_write_recovers(spark, idx):
     assert recover_pending(path) is True
     assert not os.path.exists(marker)
     assert json.load(open(f"{path}/_meta.json")) == meta_before
+
+
+def test_marker_acquire_without_hardlinks(tmp_path, monkeypatch):
+    # ADVICE r6: on filesystems without hardlink support (FUSE/object-store/
+    # SMB) os.link raises EPERM/EOPNOTSUPP — the acquire must fall back to
+    # the O_EXCL path instead of surfacing a raw OSError, and the fallback
+    # must still be an exclusive lock with a full JSON payload.
+    import errno
+
+    from blacklab_spark import incremental as inc
+
+    def no_link(src, dst):
+        raise OSError(errno.EPERM, "Operation not permitted")
+
+    monkeypatch.setattr(inc.os, "link", no_link)
+    path = str(tmp_path)
+    payload = {"new_n_segments": 1, "staging": [], "writer_pid": os.getpid()}
+    marker = inc._acquire_append_marker(path, payload)
+    try:
+        assert json.load(open(marker)) == payload  # complete payload visible
+        with pytest.raises(RuntimeError, match="concurrent append"):
+            inc._acquire_append_marker(path, payload)
+        assert not any(
+            n.endswith(".tmp") for n in os.listdir(path)
+        )  # temp file cleaned up on both acquire and refusal
+    finally:
+        inc._release_local_marker(marker)
+        os.unlink(marker)
